@@ -1,0 +1,63 @@
+"""viennaray_tpu: a TPU-native differentiable Monte Carlo flux tracer.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of ViennaRay
+(semiconductor topography flux simulation): power-cosine sources, disk /
+triangle / line geometries, diffuse / specular / coned-cosine reflections with
+sticking probabilities, reflective / periodic / ignore boundaries, gas-phase
+scattering, flux accumulation with exact area normalization and neighborhood
+smoothing — plus what the reference never had: multi-chip ray sharding over
+``jax.sharding.Mesh`` and gradients of flux w.r.t. geometry and sticking.
+
+See SURVEY.md for the structural map of the reference this build follows.
+"""
+
+from .config import (
+    BoundaryCondition,
+    NormalizationType,
+    ReflectionKind,
+    TraceConfig,
+    TraceDirection,
+    disk_factor,
+)
+from .data import DataLog, MergeType, TraceInfo, TracingData
+from .geometry.disk_geometry import DiskGeometry
+from .geometry.mesh import DiskMesh, LineMesh, TriangleMesh, lines_to_triangles
+from .geometry.triangle_geometry import TriangleGeometry
+from .physics.particle import (
+    ConedCosineParticle,
+    DiffuseParticle,
+    Particle,
+    SpecularParticle,
+)
+from .physics.source import GridSource, RandomSource, SurfaceSource
+from .trace.tracer import TraceDisk, TraceTriangle
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BoundaryCondition",
+    "NormalizationType",
+    "ReflectionKind",
+    "TraceConfig",
+    "TraceDirection",
+    "disk_factor",
+    "DataLog",
+    "MergeType",
+    "TraceInfo",
+    "TracingData",
+    "DiskGeometry",
+    "DiskMesh",
+    "LineMesh",
+    "TriangleMesh",
+    "lines_to_triangles",
+    "TriangleGeometry",
+    "Particle",
+    "DiffuseParticle",
+    "SpecularParticle",
+    "ConedCosineParticle",
+    "RandomSource",
+    "GridSource",
+    "SurfaceSource",
+    "TraceDisk",
+    "TraceTriangle",
+]

@@ -1,0 +1,150 @@
+"""Tracing data containers and run statistics.
+
+Ports of:
+- ``TracingData``  (rayTracingData.hpp) — named scalar/vector channels with
+  SUM/APPEND/AVERAGE merge semantics. On TPU the per-thread copies + post-hoc
+  merge (rayTraceKernel.hpp:69-82,343-407) become per-shard accumulators
+  reduced with ``psum``; this host-side container keeps the label/merge
+  bookkeeping and accumulates across ``apply()`` runs.
+- ``TraceInfo``    (rayUtil.hpp:65-76) — per-run counters.
+- ``DataLog``      (rayUtil.hpp:49-63) — additive user log matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class MergeType(enum.IntEnum):
+    """(ref: rayTracingData.hpp:10-14)"""
+
+    SUM = 0
+    APPEND = 1
+    AVERAGE = 2
+
+
+@dataclasses.dataclass
+class TraceInfo:
+    """Per-apply() statistics (ref: rayUtil.hpp:65-76)."""
+
+    num_rays: int = 0
+    total_rays_traced: int = 0
+    non_geometry_hits: int = 0
+    geometry_hits: int = 0
+    particle_hits: int = 0
+    boundary_hits: int = 0
+    reflections: int = 0
+    time: float = 0.0
+    warning: bool = False
+    error: bool = False
+
+
+class TracingData:
+    """Named scalar + vector data channels (ref: rayTracingData.hpp)."""
+
+    def __init__(self):
+        self._vector: List[np.ndarray] = []
+        self._vector_labels: List[str] = []
+        self._vector_merge: List[MergeType] = []
+        self._scalar: List[float] = []
+        self._scalar_labels: List[str] = []
+        self._scalar_merge: List[MergeType] = []
+
+    # -- vector channels ---------------------------------------------------
+    def set_number_of_vector_data(self, size: int):
+        self._vector = [np.zeros(0) for _ in range(size)]
+        self._vector_labels = ["vectorData"] * size
+        self._vector_merge = [MergeType.SUM] * size
+
+    def set_vector_data(self, num: int, size_or_array, value=0.0,
+                        label: str = "vectorData"):
+        if isinstance(size_or_array, (int, np.integer)):
+            self._vector[num] = np.full(int(size_or_array), value, np.float64)
+        else:
+            self._vector[num] = np.asarray(size_or_array, np.float64).copy()
+        self._vector_labels[num] = label
+
+    def get_vector_data(self, key):
+        if isinstance(key, str):
+            key = self.get_vector_data_index(key)
+        return self._vector[key]
+
+    def get_vector_data_label(self, i: int) -> str:
+        return self._vector_labels[i]
+
+    def get_vector_data_index(self, label: str) -> int:
+        try:
+            return self._vector_labels.index(label)
+        except ValueError:
+            raise KeyError(f"No vector data labelled {label!r} in TracingData")
+
+    def set_vector_merge_type(self, num: int, merge: MergeType):
+        self._vector_merge[num] = MergeType(merge)
+
+    def get_vector_merge_type(self, num: int) -> MergeType:
+        return self._vector_merge[num]
+
+    @property
+    def num_vector_data(self) -> int:
+        return len(self._vector)
+
+    # -- scalar channels ---------------------------------------------------
+    def set_number_of_scalar_data(self, size: int):
+        self._scalar = [0.0] * size
+        self._scalar_labels = ["scalarData"] * size
+        self._scalar_merge = [MergeType.SUM] * size
+
+    def set_scalar_data(self, num: int, value: float, label: str = "scalarData"):
+        self._scalar[num] = float(value)
+        self._scalar_labels[num] = label
+
+    def get_scalar_data(self, key):
+        if isinstance(key, str):
+            key = self.get_scalar_data_index(key)
+        return self._scalar[key]
+
+    def get_scalar_data_index(self, label: str) -> int:
+        try:
+            return self._scalar_labels.index(label)
+        except ValueError:
+            raise KeyError(f"No scalar data labelled {label!r} in TracingData")
+
+    def set_scalar_merge_type(self, num: int, merge: MergeType):
+        self._scalar_merge[num] = MergeType(merge)
+
+    def get_scalar_merge_type(self, num: int) -> MergeType:
+        return self._scalar_merge[num]
+
+    @property
+    def num_scalar_data(self) -> int:
+        return len(self._scalar)
+
+    # -- accumulation across apply() runs ---------------------------------
+    def accumulate_vector(self, num: int, contribution: np.ndarray):
+        """Fold a new per-primitive contribution into channel ``num``
+        following its merge type (ref: rayTraceKernel.hpp:348-378)."""
+        merge = self._vector_merge[num]
+        contribution = np.asarray(contribution, np.float64)
+        if merge == MergeType.APPEND:
+            self._vector[num] = np.concatenate([self._vector[num], contribution])
+        else:  # SUM (AVERAGE over shards is handled at reduce time)
+            if self._vector[num].size == 0:
+                self._vector[num] = contribution.copy()
+            else:
+                self._vector[num] = self._vector[num] + contribution
+
+
+class DataLog:
+    """Additive log matrix merged across shards/runs (ref: rayUtil.hpp:49-63)."""
+
+    def __init__(self):
+        self.data: List[np.ndarray] = []
+
+    def merge(self, other: "DataLog"):
+        assert len(other.data) == len(self.data), "Size mismatch when merging logs"
+        for i in range(len(self.data)):
+            self.data[i] = self.data[i] + other.data[i]

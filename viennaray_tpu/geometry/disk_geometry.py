@@ -1,0 +1,140 @@
+"""Device-resident oriented-disk geometry.
+
+TPU-native analog of ``GeometryDisk`` (rayGeometryDisk.hpp): instead of Embree
+buffers, the point cloud lives as jnp arrays in HBM plus a padded neighbor
+matrix (for the disk multi-hit semantics and flux smoothing) and precomputed
+clipped areas. Built on the host once per geometry via ``DiskGeometry.build``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import BoundaryCondition, disk_factor
+from . import disk_area, neighborhood
+from .mesh import DiskMesh, compute_bounding_box
+
+
+@struct.dataclass
+class DiskGeometry:
+    """Oriented-disk point cloud on device.
+
+    points: (N, 3); normals: (N, 3) unit; radii: (N,); material_ids: (N,) int32
+    neighbors: (N, K) padded -1 (pairs within 2*radius,
+      ref: rayGeometryDisk.hpp:97-98); areas: (N,) boundary-clipped.
+    bbox: (2, 3) raw geometry bounds (pre source adjustment).
+    """
+
+    points: jnp.ndarray
+    normals: jnp.ndarray
+    radii: jnp.ndarray
+    material_ids: jnp.ndarray
+    neighbors: jnp.ndarray
+    areas: jnp.ndarray
+    bbox: jnp.ndarray
+    dim: int = struct.field(pytree_node=False, default=3)
+    grid_delta: float = struct.field(pytree_node=False, default=0.0)
+    disk_radius: float = struct.field(pytree_node=False, default=0.0)
+
+    @property
+    def num_primitives(self) -> int:
+        return self.points.shape[0]
+
+    @classmethod
+    def build(
+        cls,
+        points,
+        normals,
+        grid_delta: float,
+        dim: int = 3,
+        disk_radius: Optional[float] = None,
+        radii=None,
+        material_ids=None,
+        dtype=jnp.float32,
+    ) -> "DiskGeometry":
+        """Host-side construction (ref: rayGeometryDisk.hpp:initGeometry).
+
+        In 2D the z coordinate of points and normals is zeroed
+        (ref: rayGeometryDisk.hpp:49-51,68-69).
+        """
+        points = np.asarray(points, np.float32).reshape(-1, 3).copy()
+        normals = np.asarray(normals, np.float32).reshape(-1, 3).copy()
+        if dim == 2:
+            points[:, 2] = 0.0
+            normals[:, 2] = 0.0
+        norms = np.linalg.norm(normals, axis=1, keepdims=True)
+        normals = normals / np.where(norms > 0, norms, 1.0)
+
+        if disk_radius is None:
+            disk_radius = float(grid_delta) * disk_factor(dim)
+        n = len(points)
+        radii_arr = (
+            np.full((n,), disk_radius, np.float32)
+            if radii is None
+            else np.asarray(radii, np.float32)
+        )
+        mat = (
+            np.zeros((n,), np.int32)
+            if material_ids is None
+            else np.asarray(material_ids, np.int32)
+        )
+
+        bbox = compute_bounding_box(points)
+        if dim == 2:
+            bbox[:, 2] = 0.0
+
+        nbrs, _ = neighborhood.build_neighborhood(
+            points, 2.0 * disk_radius, dim=dim
+        )
+
+        return cls(
+            points=jnp.asarray(points, dtype),
+            normals=jnp.asarray(normals, dtype),
+            radii=jnp.asarray(radii_arr, dtype),
+            material_ids=jnp.asarray(mat),
+            neighbors=jnp.asarray(nbrs),
+            areas=jnp.zeros((n,), dtype),
+            bbox=jnp.asarray(bbox, dtype),
+            dim=dim,
+            grid_delta=float(grid_delta),
+            disk_radius=float(disk_radius),
+        )
+
+    @classmethod
+    def from_mesh(cls, mesh: DiskMesh, dim: int = 3) -> "DiskGeometry":
+        radius = (
+            None
+            if mesh.radius == 0.0
+            else float(mesh.radius)
+        )
+        return cls.build(
+            mesh.nodes,
+            mesh.normals,
+            mesh.grid_delta,
+            dim=dim,
+            disk_radius=radius,
+            radii=mesh.radii,
+        )
+
+    def with_areas(self, boundary_dirs, boundary_conds):
+        """Compute boundary-clipped disk areas against the geometry's own
+        bounding box (ref: rayGeometryDisk.hpp:computeDiskAreas uses
+        ``this->getBoundingBox()``, i.e. the raw extents, not the
+        source-adjusted box)."""
+        pts = np.asarray(self.points, np.float64)
+        nrm = np.asarray(self.normals, np.float64)
+        rad = np.asarray(self.radii, np.float64)
+        bbox = np.asarray(self.bbox, np.float64)
+        if self.dim == 3:
+            areas = disk_area.disk_areas_3d(
+                pts, nrm, rad, bbox, boundary_dirs, boundary_conds
+            )
+        else:
+            areas = disk_area.disk_areas_2d(
+                pts, nrm, rad, bbox, boundary_dirs, boundary_conds
+            )
+        return self.replace(areas=jnp.asarray(areas, self.points.dtype))

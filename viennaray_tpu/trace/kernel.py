@@ -1,0 +1,425 @@
+"""The wavefront trace kernel.
+
+TPU-native re-architecture of ``rayInternal::TraceKernel``
+(rayTraceKernel.hpp:20-527). The reference traces each ray through a private
+``do {} while(reflect)`` bounce loop on an OpenMP thread; here the whole ray
+batch advances together through a ``lax.while_loop``: every iteration
+intersects all active rays against the geometry (chunked [rays, prims] tiles
+riding the MXU), resolves the per-ray event (geometry hit / domain-wall hit /
+escape / gas scattering) with ``jnp.where`` lattices, scatter-adds flux, and
+samples reflections — the wavefront form of the reference's per-ray branches.
+
+Event semantics mirrored 1:1 from rayTraceKernel.hpp:
+- miss (escape through the source-axis faces) -> nonGeometryHits (:172-176)
+- gas-phase scattering with P = 1 - exp(-t/lambda) preempting the hit; the
+  scatter point is org + dir * u with u the probability draw — the
+  reference's exact arithmetic (:179-203)
+- boundary hits capped at max_boundary_hits, then reflective wall = specular
+  flip / periodic wall = teleport to opposite wall / ignore = kill
+  (:206-214, rayBoundary.hpp:29-127)
+- disk backface: first hit passes through, second kills (:225-241);
+  triangle backface kills (:243-248)
+- disk neighbor multi-hit via ``check_local_intersection`` over the padded
+  neighbor matrix (:255-300), optional 1/distance weighting (VIENNARAY_USE_WDIST)
+- sticking update w -= w*s, max-reflections cap, Russian roulette
+  (kill below 0.1 w0, renew to 0.3 w0, :309-335, :435-460)
+
+RNG/determinism contract: the key hierarchy is
+fold_in(base_key, global_batch_index) -> fold_in(batch_key, bounce) ->
+fold_in(bounce_key, purpose). With a fixed seed and fixed ``ray_batch_size``
+the flux is bitwise reproducible for any device count (tests/rngSeed analog),
+because batches are keyed by their global index, not by device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BoundaryCondition, TraceConfig, get_trace_settings
+from ..ops import intersect
+from ..ops.intersect import BIG
+
+# event codes
+EV_GEO = 0
+EV_WALL1 = 1
+EV_WALL2 = 2
+EV_EXIT = 3
+
+
+class BatchCounters(NamedTuple):
+    """Device-side per-batch counters (ref: TraceInfo, rayUtil.hpp:65-76)."""
+
+    total_traces: jnp.ndarray
+    non_geometry_hits: jnp.ndarray
+    geometry_hits: jnp.ndarray
+    particle_hits: jnp.ndarray
+    boundary_hits: jnp.ndarray
+    reflections: jnp.ndarray
+
+    @classmethod
+    def zeros(cls):
+        z = jnp.zeros((), jnp.int32)
+        return cls(z, z, z, z, z, z)
+
+
+def _wall_crossing(org, dirn, axis, lo, hi, t_near):
+    """Crossing time of the next wall plane along one axis; BIG if parallel,
+    behind, or closer than t_near (Embree skips hits below tnear)."""
+    d = dirn[:, axis]
+    o = org[:, axis]
+    t = jnp.where(
+        d > 0.0,
+        (hi - o) / jnp.where(d == 0, 1e-30, d),
+        jnp.where(d < 0.0, (lo - o) / jnp.where(d == 0, 1e-30, d), BIG),
+    )
+    return jnp.where(t > t_near, t, BIG)
+
+
+def trace_batch(
+    geometry,
+    source,
+    particle,
+    bbox,
+    batch_key,
+    ray_indices,
+    valid,
+    config: TraceConfig,
+    geo_type: str,
+    collision_fn=None,
+    reflection_fn=None,
+):
+    """Trace one mega-batch of rays to extinction; returns (flux, counters).
+
+    geometry: DiskGeometry or TriangleGeometry (per ``geo_type``).
+    bbox: (2, 3) source-adjusted bounding box (ref: rayUtil.hpp:104-143).
+    ray_indices: (R,) global ray indices (reserved for index-keyed sources).
+    valid: (R,) bool — lanes beyond the total ray count start dead.
+    collision_fn(flux, prim, weight, dirn, normal, mat, key, mask) -> flux and
+    reflection_fn(key, dirn, normal, prim, mat, weight) -> (sticking, new_dir)
+    optionally override the particle's built-in behavior (the JAX analog of
+    the reference's virtual dispatch / GPU callable table).
+    """
+    dim = config.dim
+    ray_axis, first_dir, second_dir, _, _ = get_trace_settings(
+        config.source_direction
+    )
+    bc1 = BoundaryCondition(config.boundary_conditions[first_dir])
+    bc2 = (
+        BoundaryCondition(config.boundary_conditions[second_dir])
+        if dim == 3
+        else BoundaryCondition.IGNORE
+    )
+
+    R = ray_indices.shape[0]
+    dtype = geometry.points.dtype if geo_type == "disk" else geometry.vertices.dtype
+    n_prims = geometry.num_primitives
+
+    lo1, hi1 = bbox[0, first_dir], bbox[1, first_dir]
+    lo2, hi2 = bbox[0, second_dir], bbox[1, second_dir]
+    lo_r, hi_r = bbox[0, ray_axis], bbox[1, ray_axis]
+
+    if geo_type == "disk":
+        prim_normals = geometry.normals
+        material_ids = geometry.material_ids
+    else:
+        prim_normals = geometry.normals
+        material_ids = geometry.material_ids
+
+    # ---- source sampling -------------------------------------------------
+    k_src = jax.random.fold_in(batch_key, 0x5EED)
+    org, dirn, w0 = source.sample(k_src, ray_indices)
+    org = org.astype(dtype)
+    dirn = dirn.astype(dtype)
+    w0 = w0.astype(dtype)
+
+    weight = jnp.where(valid, w0, 0.0)
+    alive = valid
+    hit_from_back = jnp.zeros((R,), bool)
+    n_refl = jnp.zeros((R,), jnp.int32)
+    n_bdry = jnp.zeros((R,), jnp.int32)
+    flux = jnp.zeros((n_prims,), dtype)
+    counters = BatchCounters.zeros()
+
+    mean_free_path = particle.mean_free_path
+    t_near = jnp.asarray(config.t_near, dtype)
+
+    def cond(state):
+        it, _, _, _, _, alive, *_ = state
+        return jnp.logical_and(it < config.max_bounces, jnp.any(alive))
+
+    def body(state):
+        (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, flux, cnt) = state
+        key_b = jax.random.fold_in(batch_key, it + 1)
+        k_scat, k_scat_dir, k_refl, k_roul = jax.random.split(key_b, 4)
+
+        # ---- 1. intersect geometry (ref: rayTraceKernel.hpp:163-167) ----
+        if geo_type == "disk":
+            t_geo, prim, hit_geo = intersect.disk_nearest_hit(
+                org, dirn, geometry.points, geometry.normals, geometry.radii,
+                t_near,
+            )
+        else:
+            t_geo, prim, hit_geo = intersect.triangle_nearest_hit(
+                org, dirn, geometry.vertices, geometry.triangles, t_near,
+            )
+
+        # ---- 2. boundary-wall crossings ---------------------------------
+        # The walls are FINITE rectangles spanning the adjusted bbox on the
+        # two lateral axes only (ref: rayBoundary.hpp:164-245, 8 triangles);
+        # a crossing whose hit point lies outside the rectangle (e.g. below
+        # the geometry or above the source plane) is not a wall hit — the ray
+        # simply flies on and, with nothing else ahead, escapes (Embree miss,
+        # rayTraceKernel.hpp:172-176).
+        def wall_t(axis, lo, hi, other_axis, other_lo, other_hi):
+            t = _wall_crossing(org, dirn, axis, lo, hi, t_near)
+            hp_r = org[:, ray_axis] + dirn[:, ray_axis] * t
+            ok = (hp_r >= lo_r) & (hp_r <= hi_r)
+            if dim == 3:
+                hp_o = org[:, other_axis] + dirn[:, other_axis] * t
+                ok &= (hp_o >= other_lo) & (hp_o <= other_hi)
+            return jnp.where(ok, t, BIG)
+
+        t_w1 = wall_t(first_dir, lo1, hi1, second_dir, lo2, hi2)
+        if dim == 3:
+            t_w2 = wall_t(second_dir, lo2, hi2, first_dir, lo1, hi1)
+        else:
+            t_w2 = jnp.full((R,), BIG)
+
+        t_geo_m = jnp.where(hit_geo, t_geo, BIG)
+        ts = jnp.stack([t_geo_m, t_w1, t_w2], axis=0)  # (3, R)
+        event = jnp.argmin(ts, axis=0).astype(jnp.int32)
+        t_ev = jnp.min(ts, axis=0)
+        # no hit anywhere -> escape (Embree miss)
+        event = jnp.where(t_ev >= BIG, EV_EXIT, event)
+
+        is_exit = alive & (event == EV_EXIT)
+
+        # ---- 3. gas scattering (ref: rayTraceKernel.hpp:179-203) --------
+        if mean_free_path > 0.0:
+            u_scat = jax.random.uniform(k_scat, (R,), dtype=dtype)
+            p_scat = 1.0 - jnp.exp(-t_ev / mean_free_path)
+            scattering = alive & (~is_exit) & (u_scat < p_scat)
+            scatter_org = org + dirn * u_scat[:, None]
+            rnd_sphere = _unit_sphere_batch(k_scat_dir, R, dtype)
+            if dim == 2:
+                rnd_sphere = rnd_sphere.at[:, 2].set(0.0)
+                rnd_sphere = rnd_sphere / jnp.maximum(
+                    jnp.linalg.norm(rnd_sphere, axis=1, keepdims=True), 1e-12
+                )
+        else:
+            scattering = jnp.zeros((R,), bool)
+            scatter_org = org
+            rnd_sphere = dirn
+
+        is_wall1 = alive & (~scattering) & (event == EV_WALL1)
+        is_wall2 = alive & (~scattering) & (event == EV_WALL2)
+        is_wall = is_wall1 | is_wall2
+        is_geo_ev = alive & (~scattering) & (event == EV_GEO)
+
+        hitpoint = org + dirn * t_ev[:, None]
+
+        # ---- 4. boundary processing (ref: rayBoundary.hpp:29-127) -------
+        n_bdry_new = n_bdry + is_wall.astype(jnp.int32)
+        bdry_overflow = is_wall & (n_bdry_new > config.max_boundary_hits)
+
+        new_org = org
+        new_dir = dirn
+        dead = jnp.zeros((R,), bool)
+
+        def apply_wall(mask, axis, lo, hi, bc, new_org, new_dir, dead):
+            if bc == BoundaryCondition.REFLECTIVE:
+                new_org = jnp.where(mask[:, None], hitpoint, new_org)
+                flipped = new_dir.at[:, axis].multiply(-1.0)
+                new_dir = jnp.where(mask[:, None], flipped, new_dir)
+            elif bc == BoundaryCondition.PERIODIC:
+                moved = hitpoint.at[:, axis].set(
+                    jnp.where(dirn[:, axis] > 0, lo, hi)
+                )
+                new_org = jnp.where(mask[:, None], moved, new_org)
+            else:  # IGNORE -> terminate (ref: rayBoundary.hpp:66-69)
+                dead = dead | mask
+            return new_org, new_dir, dead
+
+        live_wall1 = is_wall1 & (~bdry_overflow)
+        live_wall2 = is_wall2 & (~bdry_overflow)
+        new_org, new_dir, dead = apply_wall(
+            live_wall1, first_dir, lo1, hi1, bc1, new_org, new_dir, dead
+        )
+        if dim == 3:
+            new_org, new_dir, dead = apply_wall(
+                live_wall2, second_dir, lo2, hi2, bc2, new_org, new_dir, dead
+            )
+
+        # ---- 5. surface interaction -------------------------------------
+        prim_c = jnp.clip(prim, 0, n_prims - 1)
+        n_hit = prim_normals[prim_c]
+        mat_hit = material_ids[prim_c]
+        backface = jnp.sum(dirn * n_hit, axis=1) > 0.0
+
+        if geo_type == "disk":
+            bf_kill = is_geo_ev & backface & hfb
+            bf_pass = is_geo_ev & backface & (~hfb)
+            collide = is_geo_ev & (~backface)
+        else:
+            bf_kill = is_geo_ev & backface
+            bf_pass = jnp.zeros((R,), bool)
+            collide = is_geo_ev & (~backface)
+
+        # flux accumulation (ref: DiffuseParticle::surfaceCollision adds the
+        # current rayWeight, rayParticle.hpp:148-156)
+        if geo_type == "disk":
+            nb_ids = geometry.neighbors[prim_c]  # (R, K)
+            K = nb_ids.shape[1]
+            nb_pad_ok = nb_ids >= 0
+            nb_c = jnp.clip(nb_ids, 0, n_prims - 1)
+            nb_centers = geometry.points[nb_c]
+            nb_normals = geometry.normals[nb_c]
+            nb_radii = geometry.radii[nb_c]
+            nb_ok, nb_dist = intersect.check_local_intersection(
+                org, dirn, nb_centers, nb_normals, nb_radii
+            )
+            nb_ok = nb_ok & nb_pad_ok & collide[:, None]
+
+            if config.use_wdist:
+                # 1/distance weighting (ref: rayTraceKernel.hpp:258-296)
+                prim_dist = (
+                    jnp.linalg.norm(hitpoint - geometry.points[prim_c], axis=1)
+                    + 1e-6
+                )
+                dists = jnp.concatenate(
+                    [prim_dist[:, None], nb_dist + 1e-6], axis=1
+                )
+                hits_mask = jnp.concatenate(
+                    [collide[:, None], nb_ok], axis=1
+                )
+                inv_sum = jnp.sum(
+                    jnp.where(hits_mask, 1.0 / dists, 0.0), axis=1, keepdims=True
+                )
+                num_hits = jnp.sum(hits_mask, axis=1, keepdims=True)
+                w_all = (
+                    weight[:, None]
+                    / dists
+                    / jnp.maximum(inv_sum, 1e-30)
+                    * num_hits
+                )
+                w_all = jnp.where(hits_mask, w_all, 0.0)
+            else:
+                w_all = jnp.where(
+                    jnp.concatenate([collide[:, None], nb_ok], axis=1),
+                    weight[:, None],
+                    0.0,
+                )
+            ids_all = jnp.concatenate([prim_c[:, None], nb_c], axis=1)
+            if collision_fn is not None:
+                flux = collision_fn(
+                    flux, ids_all, w_all, dirn, n_hit, mat_hit, key_b,
+                )
+            else:
+                flux = flux.at[ids_all.reshape(-1)].add(w_all.reshape(-1))
+        else:
+            w_hit = jnp.where(collide, weight, 0.0)
+            if collision_fn is not None:
+                flux = collision_fn(
+                    flux, prim_c[:, None], w_hit[:, None], dirn, n_hit,
+                    mat_hit, key_b,
+                )
+            else:
+                flux = flux.at[prim_c].add(w_hit)
+
+        # ---- 6. reflection + sticking (ref: rayTraceKernel.hpp:309-335) --
+        if reflection_fn is not None:
+            sticking, refl_dir = reflection_fn(
+                k_refl, dirn, n_hit, prim_c, mat_hit, weight
+            )
+        else:
+            sticking = particle.sticking_for(mat_hit)
+            refl_dir = particle.reflect(k_refl, dirn, n_hit, dim)
+
+        new_weight = weight - weight * sticking
+        died_absorb = collide & (new_weight <= 0.0)
+        n_refl_new = n_refl + collide.astype(jnp.int32)
+        died_max_refl = collide & (n_refl_new > config.max_reflections)
+
+        # Russian roulette (ref: rejectionControl, rayTraceKernel.hpp:435-460)
+        low = config.weight_threshold_frac * w0
+        renew = config.renew_weight_frac * w0
+        needs_roulette = collide & (new_weight < low)
+        u_roul = jax.random.uniform(k_roul, (R,), dtype=dtype)
+        kill_prob = 1.0 - new_weight / jnp.maximum(renew, 1e-30)
+        died_roulette = needs_roulette & (u_roul < kill_prob)
+        renewed = needs_roulette & (~died_roulette)
+        new_weight = jnp.where(renewed, renew, new_weight)
+
+        survived_collide = (
+            collide & (~died_absorb) & (~died_max_refl) & (~died_roulette)
+        )
+
+        # ---- 7. state update --------------------------------------------
+        new_org = jnp.where(scattering[:, None], scatter_org, new_org)
+        new_dir = jnp.where(scattering[:, None], rnd_sphere, new_dir)
+        new_org = jnp.where(
+            (bf_pass | survived_collide)[:, None], hitpoint, new_org
+        )
+        new_dir = jnp.where(survived_collide[:, None], refl_dir, new_dir)
+        if dim == 2:
+            zeroed = new_dir.at[:, 2].set(0.0)
+            norm = jnp.maximum(
+                jnp.linalg.norm(zeroed, axis=1, keepdims=True), 1e-12
+            )
+            new_dir = zeroed / norm
+
+        weight_out = jnp.where(collide, new_weight, weight)
+        hfb_out = hfb | bf_pass
+        dead = (
+            dead
+            | is_exit
+            | bdry_overflow
+            | bf_kill
+            | died_absorb
+            | died_max_refl
+            | died_roulette
+        )
+        alive_out = alive & (~dead)
+
+        cnt = BatchCounters(
+            total_traces=cnt.total_traces + jnp.sum(alive.astype(jnp.int32)),
+            non_geometry_hits=cnt.non_geometry_hits
+            + jnp.sum(is_exit.astype(jnp.int32)),
+            geometry_hits=cnt.geometry_hits + jnp.sum(collide.astype(jnp.int32)),
+            particle_hits=cnt.particle_hits
+            + jnp.sum(scattering.astype(jnp.int32)),
+            boundary_hits=cnt.boundary_hits + jnp.sum(is_wall.astype(jnp.int32)),
+            reflections=cnt.reflections
+            + jnp.sum(collide.astype(jnp.int32)),
+        )
+
+        return (
+            it + 1,
+            new_org,
+            new_dir,
+            weight_out,
+            w0,
+            alive_out,
+            hfb_out,
+            n_refl_new,
+            n_bdry_new,
+            flux,
+            cnt,
+        )
+
+    state = (
+        jnp.int32(0), org, dirn, weight, w0, alive, hit_from_back,
+        n_refl, n_bdry, flux, counters,
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    return state[9], state[10]
+
+
+def _unit_sphere_batch(key, n, dtype):
+    from ..ops import sampling
+
+    return sampling.unit_sphere(key, (n,), dtype=dtype)

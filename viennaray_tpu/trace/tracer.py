@@ -1,0 +1,386 @@
+"""User-facing tracers: ``TraceDisk`` and ``TraceTriangle``.
+
+These mirror the reference's ``Trace`` API surface (rayTrace.hpp:15-180,
+rayTraceDisk.hpp, rayTraceTriangle.hpp) — setters for particle, geometry,
+boundary conditions, ray counts, seeds; ``apply()`` runs the trace;
+``normalize_flux`` / ``smooth_flux`` post-process — while the implementation
+is a jitted wavefront kernel looping over mega-batches of rays (the TPU analog
+of the 2^29-ray GPU launch clamp, gpu/raygTrace.hpp:132-160).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    BoundaryCondition,
+    NormalizationType,
+    TraceConfig,
+    TraceDirection,
+    adjust_bounding_box,
+    get_trace_settings,
+)
+from ..data import DataLog, TraceInfo, TracingData
+from ..geometry.disk_geometry import DiskGeometry
+from ..geometry.mesh import DiskMesh, LineMesh, TriangleMesh
+from ..geometry.neighborhood import build_neighborhood
+from ..geometry.triangle_geometry import TriangleGeometry
+from ..ops import vec
+from ..physics.source import RandomSource
+from . import postprocess
+from .kernel import trace_batch
+
+
+@partial(jax.jit, static_argnames=("config", "geo_type"), donate_argnums=(7,))
+def _traced_batch(
+    geometry, source, particle, bbox, batch_key, ray_indices, valid,
+    flux_acc, config, geo_type,
+):
+    flux, counters = trace_batch(
+        geometry, source, particle, bbox, batch_key, ray_indices, valid,
+        config, geo_type,
+    )
+    return flux_acc + flux, counters
+
+
+class _TraceBase:
+    """Shared setter surface (ref: rayTrace.hpp:15-180)."""
+
+    def __init__(self, dim: int = 3):
+        self._dim = dim
+        self._particle = None
+        self._custom_source = None
+        self._boundary_conditions = tuple(
+            BoundaryCondition.REFLECTIVE for _ in range(3)
+        )
+        self._source_direction = (
+            TraceDirection.POS_Z if dim == 3 else TraceDirection.POS_Y
+        )
+        self._num_rays_per_point = 1000
+        self._num_rays_fixed = 0
+        self._max_reflections = 2**30
+        self._max_boundary_hits = 1000
+        self._rng_seed = 0
+        self._use_random_seed = True
+        self._primary_direction = None
+        self._run_number = 1
+        self._ray_batch_size = int(
+            os.environ.get("VIENNARAY_TPU_BATCH", 2**17)
+        )
+        self._use_wdist = False
+        self._local_data = TracingData()
+        self._global_data = None
+        self._info = TraceInfo()
+        self._data_log = DataLog()
+        self.geometry = None
+
+    # -- setters (ref: rayTrace.hpp:34-121) -------------------------------
+    def set_particle_type(self, particle):
+        self._particle = particle
+
+    def set_boundary_conditions(self, conds: Sequence[BoundaryCondition]):
+        conds = tuple(BoundaryCondition(c) for c in conds)
+        if len(conds) < self._dim:
+            raise ValueError("One boundary condition per dimension required")
+        padded = conds + tuple(
+            BoundaryCondition.REFLECTIVE for _ in range(3 - len(conds))
+        )
+        self._boundary_conditions = padded[:3]
+
+    def set_source(self, source):
+        self._custom_source = source
+
+    def reset_source(self):
+        self._custom_source = None
+
+    def set_number_of_rays_per_point(self, n: int):
+        self._num_rays_per_point = int(n)
+        self._num_rays_fixed = 0
+
+    def set_number_of_rays_fixed(self, n: int):
+        self._num_rays_fixed = int(n)
+        self._num_rays_per_point = 0
+
+    def set_max_reflections(self, n: int):
+        self._max_reflections = int(n)
+
+    def set_max_boundary_hits(self, n: int):
+        self._max_boundary_hits = int(n)
+
+    def set_source_direction(self, direction: TraceDirection):
+        self._source_direction = TraceDirection(direction)
+
+    def set_primary_direction(self, direction):
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        self._primary_direction = tuple(float(x) for x in d)
+
+    def set_use_random_seeds(self, use: bool):
+        self._use_random_seed = bool(use)
+
+    def set_rng_seed(self, seed: int):
+        self._rng_seed = int(seed)
+        self._use_random_seed = False
+
+    def set_ray_batch_size(self, n: int):
+        self._ray_batch_size = int(n)
+
+    def set_use_wdist(self, use: bool):
+        self._use_wdist = bool(use)
+
+    # -- data access (ref: rayTrace.hpp:135-145) ---------------------------
+    def get_local_data(self) -> TracingData:
+        return self._local_data
+
+    def set_global_data(self, data: TracingData):
+        self._global_data = data
+
+    def get_global_data(self):
+        return self._global_data
+
+    def get_ray_trace_info(self) -> TraceInfo:
+        return self._info
+
+    def get_data_log(self) -> DataLog:
+        return self._data_log
+
+    # -- shared internals ---------------------------------------------------
+    def _make_config(self) -> TraceConfig:
+        return TraceConfig(
+            dim=self._dim,
+            num_rays_per_point=self._num_rays_per_point,
+            num_rays_fixed=self._num_rays_fixed,
+            max_reflections=self._max_reflections,
+            max_boundary_hits=self._max_boundary_hits,
+            rng_seed=self._rng_seed,
+            use_random_seed=self._use_random_seed,
+            source_direction=self._source_direction,
+            boundary_conditions=self._boundary_conditions,
+            primary_direction=self._primary_direction,
+            ray_batch_size=self._ray_batch_size,
+            use_wdist=self._use_wdist,
+        )
+
+    def _base_seed(self) -> int:
+        if self._use_random_seed:
+            return int.from_bytes(os.urandom(4), "little")
+        # (ref: rayTraceKernel.hpp:100 seed = runNumber + rngSeed)
+        return (self._rng_seed + self._run_number) & 0xFFFFFFFF
+
+    def _default_source(self, adjusted_bbox, num_points):
+        settings = get_trace_settings(self._source_direction)
+        ray_dir, first_dir, second_dir, min_max, pos_neg = settings
+        basis = None
+        if self._primary_direction is not None:
+            basis = vec.orthonormal_basis(
+                jnp.asarray(self._primary_direction, jnp.float32)
+            )
+        return RandomSource(
+            bbox=jnp.asarray(adjusted_bbox, jnp.float32),
+            cosine_power=self._particle.cosine_exponent,
+            basis=basis,
+            ray_dir=ray_dir,
+            first_dir=first_dir,
+            second_dir=second_dir,
+            min_max=min_max,
+            pos_neg=float(pos_neg),
+            dim=self._dim,
+            num_points=num_points,
+        )
+
+    def _run_trace(self, geometry, geo_type: str):
+        config = self._make_config()
+        n_prims = geometry.num_primitives
+        total_rays = config.total_rays(n_prims)
+        bbox_margin = (
+            geometry.disk_radius if geo_type == "disk" else geometry.grid_delta
+        )
+        adjusted = adjust_bounding_box(
+            np.asarray(geometry.bbox), self._source_direction, bbox_margin,
+            self._dim,
+        )
+
+        if self._custom_source is not None:
+            source = self._custom_source
+        else:
+            source = self._default_source(adjusted, n_prims)
+        self._last_source = source
+
+        base_key = jax.random.PRNGKey(self._base_seed())
+        bbox_dev = jnp.asarray(adjusted, jnp.float32)
+
+        batch = config.ray_batch_size
+        num_batches = max(1, -(-total_rays // batch))
+        flux = jnp.zeros((n_prims,), jnp.float32)
+        totals = np.zeros(6, np.int64)
+
+        t0 = time.perf_counter()
+        for b in range(num_batches):
+            ray_indices = jnp.arange(b * batch, (b + 1) * batch, dtype=jnp.int32)
+            valid = ray_indices < total_rays
+            batch_key = jax.random.fold_in(base_key, b)
+            flux, counters = _traced_batch(
+                geometry, source, self._particle, bbox_dev, batch_key,
+                ray_indices, valid, flux, config, geo_type,
+            )
+            totals += np.array([int(c) for c in counters], np.int64)
+        flux.block_until_ready()
+        elapsed = time.perf_counter() - t0
+
+        self._info = TraceInfo(
+            num_rays=total_rays,
+            total_rays_traced=int(totals[0]),
+            non_geometry_hits=int(totals[1]),
+            geometry_hits=int(totals[2]),
+            particle_hits=int(totals[3]),
+            boundary_hits=int(totals[4]),
+            reflections=int(totals[5]),
+            time=elapsed,
+        )
+        self._run_number += 1  # (ref: rayTraceDisk.hpp:54)
+        return np.asarray(flux)
+
+    def _store_local_data(self, flux):
+        labels = list(self._particle.data_labels)
+        if self._local_data.num_vector_data != len(labels):
+            self._local_data.set_number_of_vector_data(len(labels))
+            for i, lbl in enumerate(labels):
+                self._local_data.set_vector_data(i, len(flux), 0.0, lbl)
+        for i, lbl in enumerate(labels):
+            self._local_data.accumulate_vector(i, flux)
+
+
+class TraceDisk(_TraceBase):
+    """Oriented-disk tracer (ref: rayTraceDisk.hpp)."""
+
+    def set_geometry(self, points, normals=None, grid_delta=None,
+                     disk_radius=None):
+        if isinstance(points, DiskMesh):
+            mesh = points
+            self.geometry = DiskGeometry.from_mesh(mesh, dim=self._dim)
+        else:
+            self.geometry = DiskGeometry.build(
+                points, normals, grid_delta, dim=self._dim,
+                disk_radius=disk_radius,
+            )
+
+    def set_material_ids(self, material_ids):
+        self.geometry = self.geometry.replace(
+            material_ids=jnp.asarray(np.asarray(material_ids, np.int32))
+        )
+
+    def apply(self):
+        """Run the trace (ref: rayTraceDisk.hpp:19-57)."""
+        self._check_settings()
+        settings = get_trace_settings(self._source_direction)
+        boundary_dirs = (settings[1], settings[2])
+        self.geometry = self.geometry.with_areas(
+            boundary_dirs, self._boundary_conditions
+        )
+        flux = self._run_trace(self.geometry, "disk")
+        self._store_local_data(flux)
+        return flux
+
+    def normalize_flux(self, flux, norm: NormalizationType = NormalizationType.SOURCE):
+        """(ref: rayTraceDisk.hpp:103-142)"""
+        flux = jnp.asarray(flux, jnp.float32)
+        areas = self.geometry.areas
+        if NormalizationType(norm) == NormalizationType.MAX:
+            out = postprocess.normalize_flux_max_disk(
+                flux, areas, self.geometry.disk_radius
+            )
+        else:
+            config = self._make_config()
+            total = config.total_rays(self.geometry.num_primitives)
+            out = postprocess.normalize_flux_source(
+                flux, areas, self._last_source.source_area(), total
+            )
+        return np.asarray(out)
+
+    def smooth_flux(self, flux, num_neighbors: int = 1):
+        """(ref: rayTraceDisk.hpp:146-193)"""
+        if num_neighbors < 1:
+            return np.asarray(flux)
+        if num_neighbors == 1:
+            neighbors = self.geometry.neighbors
+        else:
+            nbrs, _ = build_neighborhood(
+                np.asarray(self.geometry.points),
+                num_neighbors * 2.0 * self.geometry.disk_radius,
+                dim=3,  # (ref: rayTraceDisk.hpp:169 always inits 3D here)
+            )
+            neighbors = jnp.asarray(nbrs)
+        out = postprocess.smooth_flux(
+            jnp.asarray(flux, jnp.float32), self.geometry.normals, neighbors
+        )
+        return np.asarray(out)
+
+    def _check_settings(self):
+        if self._particle is None:
+            self._info.error = True
+            raise ValueError("No particle was specified in TraceDisk")
+        if self.geometry is None:
+            self._info.error = True
+            raise ValueError("No geometry was passed to TraceDisk")
+        if self.geometry.disk_radius > self.geometry.grid_delta:
+            self._info.warning = True
+
+
+class TraceTriangle(_TraceBase):
+    """Triangle-mesh tracer (ref: rayTraceTriangle.hpp)."""
+
+    def set_geometry(self, mesh_or_points, triangles=None, grid_delta=None):
+        if isinstance(mesh_or_points, TriangleMesh):
+            self.geometry = TriangleGeometry.from_mesh(
+                mesh_or_points, dim=self._dim
+            )
+        elif isinstance(mesh_or_points, LineMesh):
+            if self._dim != 2:
+                raise ValueError("Line geometry is only supported in 2D")
+            self.geometry = TriangleGeometry.from_line_mesh(mesh_or_points)
+        else:
+            self.geometry = TriangleGeometry.build(
+                mesh_or_points, triangles, grid_delta, dim=self._dim
+            )
+
+    def set_material_ids(self, material_ids):
+        self.geometry = self.geometry.replace(
+            material_ids=jnp.asarray(np.asarray(material_ids, np.int32))
+        )
+
+    def apply(self):
+        """(ref: rayTraceTriangle.hpp:19-61)"""
+        if self._particle is None:
+            self._info.error = True
+            raise ValueError("No particle was specified in TraceTriangle")
+        if self.geometry is None:
+            self._info.error = True
+            raise ValueError("No geometry was passed to TraceTriangle")
+        flux = self._run_trace(self.geometry, "triangle")
+        self._store_local_data(flux)
+        return flux
+
+    def normalize_flux(self, flux, norm: NormalizationType = NormalizationType.SOURCE):
+        """(ref: rayTraceTriangle.hpp:92-130)"""
+        flux = jnp.asarray(flux, jnp.float32)
+        areas = self.geometry.areas
+        if NormalizationType(norm) == NormalizationType.MAX:
+            out = postprocess.normalize_flux_max_triangle(flux, areas)
+        else:
+            config = self._make_config()
+            total = config.total_rays(self.geometry.num_primitives)
+            out = postprocess.normalize_flux_source(
+                flux, areas, self._last_source.source_area(), total
+            )
+        return np.asarray(out)
+
+    def smooth_flux(self, flux, num_neighbors: int = 1):
+        """No-op for element meshes (ref: rayTraceTriangle.hpp:134-136)."""
+        return np.asarray(flux)
