@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Flagship benchmark: 3D disk trench flux trace on real TPU hardware.
+
+Config mirrors the reference's examples/disk3D (trench geometry, diffuse
+particle sticking=0.1, periodic boundaries, 2000 rays/point,
+examples/disk3D/disk3D.cpp:33-52) — the reference's own headline timing
+printout ("Tracing time: X s").
+
+Prints ONE JSON line:
+  {"metric": ..., "value": rays/s, "unit": "rays/s", "vs_baseline": ratio}
+vs_baseline compares against benchmarks/baseline_local.json (recorded on
+first run; the reference publishes no numbers — BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import viennaray_tpu as vrt
+    from viennaray_tpu.io import fixtures
+
+    rays_per_point = int(os.environ.get("BENCH_RAYS_PER_POINT", 2000))
+    grid_delta = float(os.environ.get("BENCH_GRID_DELTA", 0.25))
+
+    pts, nrm = fixtures.create_trench_grid_3d(
+        grid_delta=grid_delta, extent=5.0, trench_width=4.0, trench_depth=4.0
+    )
+
+    tracer = vrt.TraceDisk(dim=3)
+    tracer.set_geometry(pts, nrm, grid_delta)
+    tracer.set_boundary_conditions([vrt.BoundaryCondition.PERIODIC] * 3)
+    tracer.set_particle_type(vrt.DiffuseParticle(0.1, "flux"))
+    tracer.set_number_of_rays_per_point(rays_per_point)
+    tracer.set_rng_seed(42)
+
+    # warmup run (compile) with a tiny ray count
+    tracer.set_number_of_rays_fixed(tracer._ray_batch_size)
+    tracer.apply()
+
+    tracer.set_number_of_rays_per_point(rays_per_point)
+    t0 = time.perf_counter()
+    flux = tracer.apply()
+    elapsed = time.perf_counter() - t0
+    info = tracer.get_ray_trace_info()
+    rays_per_s = info.num_rays / elapsed
+
+    # sanity: flux must be a real trench profile
+    norm = tracer.normalize_flux(flux)
+    ok = bool(np.isfinite(norm).all() and norm.max() > 0)
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks",
+        "baseline_local.json",
+    )
+    vs_baseline = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("rays_per_s"):
+            vs_baseline = rays_per_s / base["rays_per_s"]
+    else:
+        os.makedirs(os.path.dirname(baseline_path), exist_ok=True)
+        with open(baseline_path, "w") as f:
+            json.dump(
+                {
+                    "rays_per_s": rays_per_s,
+                    "num_rays": info.num_rays,
+                    "num_points": len(pts),
+                    "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
+                },
+                f,
+                indent=2,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "rays/s single-chip (3D disk trench, sticking 0.1, "
+                f"{rays_per_point} rays/pt, {len(pts)} disks, ok={ok})",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

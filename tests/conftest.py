@@ -1,10 +1,15 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
-# without TPU hardware. Must be set before jax is imported.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# without TPU hardware. NOTE: in this environment the JAX_PLATFORMS env var is
+# not honored (a TPU platform plugin claims the backend first), so we must use
+# jax.config.update before any backend is initialized.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -117,6 +117,10 @@ class TraceConfig:
     renew_weight_frac: float = 0.3
     t_near: float = 1e-4
     use_wdist: bool = False  # 1/distance multi-hit weighting (VIENNARAY_USE_WDIST)
+    # Russian roulette on/off. The unbiased weight renewal
+    # (rayTraceKernel.hpp:435-460) zeroes the gradient of renewed weights, so
+    # the differentiable path disables it and relies on a bounded bounce count.
+    roulette: bool = True
 
     def __post_init__(self):
         if self.dim not in (2, 3):

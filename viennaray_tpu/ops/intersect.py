@@ -25,6 +25,13 @@ import jax.numpy as jnp
 BIG = jnp.float32(3.4e38)
 
 
+def _mm(a, b):
+    """f32-accurate matmul: TPU MXU defaults to bf16 inputs, which is far too
+    coarse for hit tests (disk radii ~1e-1 vs bf16 coordinate error ~1e-2);
+    HIGHEST requests the multi-pass f32 algorithm."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def disk_nearest_hit(org, direction, points, normals, radii, t_near, chunk=1024):
     """Closest disk hit per ray.
 
@@ -35,7 +42,8 @@ def disk_nearest_hit(org, direction, points, normals, radii, t_near, chunk=1024)
     N = points.shape[0]
     pad = (-N) % chunk
     if pad:
-        points = jnp.pad(points, ((0, pad), (0, 0)), constant_values=BIG)
+        # pad far away but small enough that squared terms stay finite in f32
+        points = jnp.pad(points, ((0, pad), (0, 0)), constant_values=1e18)
         normals = jnp.pad(normals, ((0, pad), (0, 0)))
         radii = jnp.pad(radii, (0, pad))
     n_dot_c = jnp.sum(normals * points, axis=1)  # (N',)
@@ -51,12 +59,12 @@ def disk_nearest_hit(org, direction, points, normals, radii, t_near, chunk=1024)
         ndc = jax.lax.dynamic_slice_in_dim(n_dot_c, start, chunk)
         cc2 = jax.lax.dynamic_slice_in_dim(c2, start, chunk)
 
-        denom = direction @ n.T  # (R, P)  MXU
-        n_dot_o = org @ n.T  # (R, P)  MXU
+        denom = _mm(direction, n.T)  # (R, P)  MXU
+        n_dot_o = _mm(org, n.T)  # (R, P)  MXU
         t = (ndc[None, :] - n_dot_o) / jnp.where(denom == 0, 1e-30, denom)
 
-        o_dot_c = org @ p.T  # (R, P)  MXU
-        d_dot_c = direction @ p.T  # (R, P)  MXU
+        o_dot_c = _mm(org, p.T)  # (R, P)  MXU
+        d_dot_c = _mm(direction, p.T)  # (R, P)  MXU
         dist2 = (
             org2[:, None]
             - 2.0 * o_dot_c
@@ -103,7 +111,7 @@ def triangle_nearest_hit(org, direction, vertices, triangles, t_near, chunk=1024
     e2 = vertices[triangles[:, 2]] - v0
     pad = (-N) % chunk
     if pad:
-        v0 = jnp.pad(v0, ((0, pad), (0, 0)), constant_values=BIG)
+        v0 = jnp.pad(v0, ((0, pad), (0, 0)), constant_values=1e18)
         e1 = jnp.pad(e1, ((0, pad), (0, 0)))
         e2 = jnp.pad(e2, ((0, pad), (0, 0)))
 

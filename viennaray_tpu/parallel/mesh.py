@@ -1,0 +1,132 @@
+"""Multi-chip ray sharding.
+
+The reference's only parallelism is OpenMP threads over rays with per-thread
+flux copies merged post-hoc (rayTraceKernel.hpp:87-117, 343-407) and
+single-GPU launch grids. The TPU-native replacement (SURVEY §2.9, §5.8):
+
+- a 1-D ``jax.sharding.Mesh`` over axis ``"rays"``;
+- ``jax.shard_map``-wrapped trace step: each device traces its ray sub-batch
+  against replicated geometry (small — point clouds fit HBM easily);
+- per-shard RNG streams via ``fold_in(batch_key, axis_index)``;
+- flux and counters reduced with ``psum`` over ICI — the collective analog of
+  the reference's thread-local merge.
+
+For multi-host runs call ``initialize_distributed()`` first
+(``jax.distributed.initialize``); the mesh then spans all processes' devices
+and the same code runs unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import TraceConfig
+from ..trace.kernel import trace_batch
+
+
+def initialize_distributed(**kwargs):
+    """Multi-host bootstrap (net-new vs the reference, SURVEY §2.9)."""
+    jax.distributed.initialize(**kwargs)
+
+
+def make_ray_mesh(devices=None) -> Mesh:
+    """1-D device mesh over the ray axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), ("rays",))
+
+
+def trace_batch_sharded(
+    geometry,
+    source,
+    particle,
+    bbox,
+    batch_key,
+    ray_indices,
+    valid,
+    config: TraceConfig,
+    geo_type: str,
+    mesh: Mesh,
+    differentiable: bool = False,
+    num_bounces: Optional[int] = None,
+):
+    """Trace one global mega-batch sharded over the mesh's ``rays`` axis.
+
+    ray_indices/valid: (R_global,) with R_global divisible by mesh size.
+    Returns replicated (flux (N,), counters) — flux is psum-reduced, the
+    deterministic-collective analog of the reference's thread merge.
+    """
+
+    def shard_fn(ray_idx_local, valid_local):
+        shard = jax.lax.axis_index("rays")
+        key = jax.random.fold_in(batch_key, shard)
+        flux, counters = trace_batch(
+            geometry, source, particle, bbox, key, ray_idx_local, valid_local,
+            config, geo_type, differentiable=differentiable,
+            num_bounces=num_bounces,
+        )
+        flux = jax.lax.psum(flux, "rays")
+        counters = jax.tree.map(lambda c: jax.lax.psum(c, "rays"), counters)
+        return flux, counters
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("rays"), P("rays")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(ray_indices, valid)
+
+
+def trace_sharded(
+    geometry,
+    source,
+    particle,
+    bbox,
+    config: TraceConfig,
+    geo_type: str,
+    base_key,
+    total_rays: int,
+    mesh: Mesh,
+):
+    """Full sharded trace: loops global mega-batches of
+    ``config.ray_batch_size * mesh_size`` rays and accumulates flux.
+
+    Determinism: fixed (seed, ray_batch_size, device count) => bitwise
+    reproducible flux (psum reduction order is fixed; scatter-add within a
+    shard is deterministic on TPU).
+    """
+    n_dev = mesh.devices.size
+    per_batch = config.ray_batch_size * n_dev
+    num_batches = max(1, -(-total_rays // per_batch))
+
+    jitted = jax.jit(
+        partial(
+            trace_batch_sharded,
+            config=config,
+            geo_type=geo_type,
+            mesh=mesh,
+        ),
+        static_argnames=(),
+    )
+
+    flux = jnp.zeros((geometry.num_primitives,), jnp.float32)
+    totals = np.zeros(6, np.int64)
+    for b in range(num_batches):
+        ray_indices = jnp.arange(b * per_batch, (b + 1) * per_batch,
+                                 dtype=jnp.int32)
+        valid = ray_indices < total_rays
+        batch_key = jax.random.fold_in(base_key, b)
+        f, counters = jitted(
+            geometry, source, particle, bbox, batch_key, ray_indices, valid
+        )
+        flux = flux + f
+        totals += np.array([int(c) for c in counters], np.int64)
+    return flux, totals

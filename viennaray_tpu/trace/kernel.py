@@ -91,6 +91,8 @@ def trace_batch(
     geo_type: str,
     collision_fn=None,
     reflection_fn=None,
+    differentiable: bool = False,
+    num_bounces: Optional[int] = None,
 ):
     """Trace one mega-batch of rays to extinction; returns (flux, counters).
 
@@ -345,14 +347,17 @@ def trace_batch(
         died_max_refl = collide & (n_refl_new > config.max_reflections)
 
         # Russian roulette (ref: rejectionControl, rayTraceKernel.hpp:435-460)
-        low = config.weight_threshold_frac * w0
-        renew = config.renew_weight_frac * w0
-        needs_roulette = collide & (new_weight < low)
-        u_roul = jax.random.uniform(k_roul, (R,), dtype=dtype)
-        kill_prob = 1.0 - new_weight / jnp.maximum(renew, 1e-30)
-        died_roulette = needs_roulette & (u_roul < kill_prob)
-        renewed = needs_roulette & (~died_roulette)
-        new_weight = jnp.where(renewed, renew, new_weight)
+        if config.roulette:
+            low = config.weight_threshold_frac * w0
+            renew = config.renew_weight_frac * w0
+            needs_roulette = collide & (new_weight < low)
+            u_roul = jax.random.uniform(k_roul, (R,), dtype=dtype)
+            kill_prob = 1.0 - new_weight / jnp.maximum(renew, 1e-30)
+            died_roulette = needs_roulette & (u_roul < kill_prob)
+            renewed = needs_roulette & (~died_roulette)
+            new_weight = jnp.where(renewed, renew, new_weight)
+        else:
+            died_roulette = jnp.zeros((R,), bool)
 
         survived_collide = (
             collide & (~died_absorb) & (~died_max_refl) & (~died_roulette)
@@ -415,7 +420,19 @@ def trace_batch(
         jnp.int32(0), org, dirn, weight, w0, alive, hit_from_back,
         n_refl, n_bdry, flux, counters,
     )
-    state = jax.lax.while_loop(cond, body, state)
+    if differentiable:
+        # lax.while_loop is not reverse-differentiable; a fixed-length scan
+        # over `num_bounces` rounds is (dead lanes are no-ops). Gradients flow
+        # through the weights (sticking) and hit positions; discrete path
+        # decisions are treated straight-through (SURVEY §7 design stance).
+        bounces = num_bounces if num_bounces is not None else 32
+
+        def scan_body(s, _):
+            return body(s), None
+
+        state, _ = jax.lax.scan(scan_body, state, None, length=bounces)
+    else:
+        state = jax.lax.while_loop(cond, body, state)
     return state[9], state[10]
 
 
