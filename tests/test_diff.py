@@ -1,0 +1,124 @@
+"""Gradient tests: flux gradients vs finite differences (BASELINE.md target;
+net-new capability vs the reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import viennaray_tpu as vrt
+from viennaray_tpu.config import (
+    TraceConfig,
+    adjust_bounding_box,
+    get_trace_settings,
+)
+from viennaray_tpu.diff.trace_grad import trace_flux
+from viennaray_tpu.io import fixtures
+from viennaray_tpu.physics.source import RandomSource
+
+
+def _setup(sticking=0.3):
+    """A concave 2D trench: multi-bounce happens inside the cavity, so flux
+    genuinely depends on sticking (on a convex plane d flux/d s is exactly 0
+    because reflected rays never land again)."""
+    grid_delta = 0.1
+    pts, nrm = fixtures.create_trench_grid_2d(grid_delta=grid_delta)
+    geometry = vrt.DiskGeometry.build(pts, nrm, grid_delta, dim=2)
+    particle = vrt.DiffuseParticle(sticking, "flux")
+    config = TraceConfig(
+        dim=2,
+        num_rays_fixed=2048,
+        rng_seed=11,
+        use_random_seed=False,
+        ray_batch_size=2048,
+        roulette=False,
+        source_direction=vrt.TraceDirection.POS_Y,
+        boundary_conditions=(vrt.BoundaryCondition.REFLECTIVE,) * 3,
+    )
+    bbox = adjust_bounding_box(
+        np.asarray(geometry.bbox), config.source_direction,
+        geometry.disk_radius, 2,
+    )
+    s = get_trace_settings(config.source_direction)
+    source = RandomSource(
+        bbox=jnp.asarray(bbox, jnp.float32),
+        cosine_power=particle.cosine_exponent,
+        ray_dir=s[0], first_dir=s[1], second_dir=s[2], min_max=s[3],
+        pos_neg=float(s[4]), dim=2, num_points=geometry.num_primitives,
+    )
+    return geometry, source, particle, jnp.asarray(bbox, jnp.float32), config
+
+
+def test_grad_sticking_matches_finite_difference():
+    """d sum(flux) / d sticking vs central differences with a SHARED RNG key
+    (the path is identical under small sticking perturbations, so FD is exact
+    up to f32 noise)."""
+    geometry, source, particle, bbox, config = _setup()
+    key = jax.random.PRNGKey(11)
+    R = config.num_rays_fixed
+    ray_indices = jnp.arange(R, dtype=jnp.int32)
+    valid = jnp.ones((R,), bool)
+
+    def total_flux(s):
+        p = particle.replace(sticking=jnp.asarray(s, jnp.float32))
+        f = trace_flux(
+            geometry, source, p, bbox, key, ray_indices, valid, config,
+            "disk", num_bounces=8,
+        )
+        return jnp.sum(f)
+
+    fn = jax.jit(total_flux)
+    grad = jax.jit(jax.grad(total_flux))(0.3)
+    eps = 1e-2
+    fd = (float(fn(0.3 + eps)) - float(fn(0.3 - eps))) / (2 * eps)
+    assert np.isfinite(float(grad))
+    # more sticking -> fewer bounces -> less recorded flux: negative gradient
+    assert float(grad) < 0
+    np.testing.assert_allclose(float(grad), fd, rtol=0.08)
+
+
+def test_diff_flux_matches_nondiff_flux():
+    """With roulette off and enough bounces, the scan path and the while_loop
+    path produce identical flux for the same key."""
+    geometry, source, particle, bbox, config = _setup(sticking=0.9)
+    from viennaray_tpu.trace.kernel import trace_batch
+
+    key = jax.random.PRNGKey(4)
+    R = config.num_rays_fixed
+    ray_indices = jnp.arange(R, dtype=jnp.int32)
+    valid = jnp.ones((R,), bool)
+    f_while, _ = jax.jit(
+        lambda: trace_batch(
+            geometry, source, particle, bbox, key, ray_indices, valid,
+            config, "disk",
+        )
+    )()
+    f_scan = jax.jit(
+        lambda: trace_flux(
+            geometry, source, particle, bbox, key, ray_indices, valid,
+            config, "disk", num_bounces=64,
+        )
+    )()
+    np.testing.assert_allclose(
+        np.asarray(f_while), np.asarray(f_scan), rtol=1e-6
+    )
+
+
+def test_grad_wrt_points_finite():
+    """Geometry gradients exist and are finite (straight-through for
+    visibility; smooth for hit positions)."""
+    geometry, source, particle, bbox, config = _setup()
+    key = jax.random.PRNGKey(2)
+    R = 1024
+    ray_indices = jnp.arange(R, dtype=jnp.int32)
+    valid = jnp.ones((R,), bool)
+
+    def loss(points):
+        g = geometry.replace(points=points)
+        f = trace_flux(
+            g, source, particle, bbox, key, ray_indices, valid, config,
+            "disk", num_bounces=4,
+        )
+        return jnp.sum(f * f)
+
+    grad = jax.jit(jax.grad(loss))(geometry.points)
+    assert np.isfinite(np.asarray(grad)).all()

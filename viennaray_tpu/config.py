@@ -117,6 +117,9 @@ class TraceConfig:
     renew_weight_frac: float = 0.3
     t_near: float = 1e-4
     use_wdist: bool = False  # 1/distance multi-hit weighting (VIENNARAY_USE_WDIST)
+    # Use the uniform-grid DDA only above this primitive count — below it the
+    # chunked MXU brute force is faster than gather-bound traversal on TPU.
+    grid_min_prims: int = 8192
     # Russian roulette on/off. The unbiased weight renewal
     # (rayTraceKernel.hpp:435-460) zeroes the gradient of renewed weights, so
     # the differentiable path disables it and relies on a bounded bounce count.

@@ -15,8 +15,18 @@ import numpy as np
 from flax import struct
 
 from ..config import BoundaryCondition, disk_factor
-from . import disk_area, neighborhood
+from . import disk_area, grid_accel, neighborhood
 from .mesh import DiskMesh, compute_bounding_box
+
+
+@struct.dataclass
+class GridData:
+    """Device-side uniform grid (built by geometry/grid_accel.py)."""
+
+    cells: jnp.ndarray  # (C, K) int32 padded -1
+    origin: jnp.ndarray  # (3,)
+    cell_size: jnp.ndarray  # scalar
+    dims: tuple = struct.field(pytree_node=False, default=(1, 1, 1))
 
 
 @struct.dataclass
@@ -36,6 +46,7 @@ class DiskGeometry:
     neighbors: jnp.ndarray
     areas: jnp.ndarray
     bbox: jnp.ndarray
+    grid: Optional[GridData] = None
     dim: int = struct.field(pytree_node=False, default=3)
     grid_delta: float = struct.field(pytree_node=False, default=0.0)
     disk_radius: float = struct.field(pytree_node=False, default=0.0)
@@ -55,6 +66,7 @@ class DiskGeometry:
         radii=None,
         material_ids=None,
         dtype=jnp.float32,
+        accel: bool = True,
     ) -> "DiskGeometry":
         """Host-side construction (ref: rayGeometryDisk.hpp:initGeometry).
 
@@ -91,6 +103,16 @@ class DiskGeometry:
             points, 2.0 * disk_radius, dim=dim
         )
 
+        grid = None
+        if accel and n > 0:
+            g = grid_accel.build_disk_grid(points, normals, radii_arr, dim=dim)
+            grid = GridData(
+                cells=jnp.asarray(g.cells),
+                origin=jnp.asarray(g.origin, dtype),
+                cell_size=jnp.asarray(g.cell_size, dtype),
+                dims=g.dims,
+            )
+
         return cls(
             points=jnp.asarray(points, dtype),
             normals=jnp.asarray(normals, dtype),
@@ -99,6 +121,7 @@ class DiskGeometry:
             neighbors=jnp.asarray(nbrs),
             areas=jnp.zeros((n,), dtype),
             bbox=jnp.asarray(bbox, dtype),
+            grid=grid,
             dim=dim,
             grid_delta=float(grid_delta),
             disk_radius=float(disk_radius),

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from . import grid_accel
+from .disk_geometry import GridData
 from .mesh import LineMesh, TriangleMesh, compute_bounding_box, lines_to_triangles
 
 
@@ -30,6 +32,7 @@ class TriangleGeometry:
     areas: jnp.ndarray
     material_ids: jnp.ndarray
     bbox: jnp.ndarray
+    grid: "GridData" = None
     dim: int = struct.field(pytree_node=False, default=3)
     grid_delta: float = struct.field(pytree_node=False, default=0.0)
 
@@ -47,6 +50,7 @@ class TriangleGeometry:
         normals=None,
         material_ids=None,
         dtype=jnp.float32,
+        accel: bool = True,
     ) -> "TriangleGeometry":
         vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
         triangles = np.asarray(triangles, np.int32).reshape(-1, 3)
@@ -83,6 +87,16 @@ class TriangleGeometry:
         )
         bbox = compute_bounding_box(vertices)
 
+        grid = None
+        if accel and n > 0:
+            g = grid_accel.build_triangle_grid(vertices, triangles, dim=dim)
+            grid = GridData(
+                cells=jnp.asarray(g.cells),
+                origin=jnp.asarray(g.origin, dtype),
+                cell_size=jnp.asarray(g.cell_size, dtype),
+                dims=g.dims,
+            )
+
         return cls(
             vertices=jnp.asarray(vertices, dtype),
             triangles=jnp.asarray(triangles),
@@ -90,6 +104,7 @@ class TriangleGeometry:
             areas=jnp.asarray(areas, dtype),
             material_ids=jnp.asarray(mat),
             bbox=jnp.asarray(bbox, dtype),
+            grid=grid,
             dim=dim,
             grid_delta=float(grid_delta),
         )

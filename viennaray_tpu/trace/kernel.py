@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import BoundaryCondition, TraceConfig, get_trace_settings
-from ..ops import intersect
+from ..ops import grid_traverse, intersect
 from ..ops.intersect import BIG
 
 # event codes
@@ -155,19 +155,43 @@ def trace_batch(
 
     def body(state):
         (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, flux, cnt) = state
+        Rb = org.shape[0]  # stage width (shrinks after compaction)
         key_b = jax.random.fold_in(batch_key, it + 1)
         k_scat, k_scat_dir, k_refl, k_roul = jax.random.split(key_b, 4)
 
         # ---- 1. intersect geometry (ref: rayTraceKernel.hpp:163-167) ----
+        # grid DDA when an acceleration structure is attached (the BVH
+        # replacement, SURVEY §7); brute-force chunked tiles otherwise.
+        # For small prim counts the MXU brute force beats the gather-bound
+        # DDA on TPU, so the grid only engages above grid_min_prims.
+        # The differentiable path always brute-forces: the DDA's inner
+        # while_loop is not reverse-differentiable.
+        use_grid = (
+            geometry.grid is not None
+            and not differentiable
+            and n_prims >= config.grid_min_prims
+        )
         if geo_type == "disk":
-            t_geo, prim, hit_geo = intersect.disk_nearest_hit(
-                org, dirn, geometry.points, geometry.normals, geometry.radii,
-                t_near,
-            )
+            if use_grid:
+                t_geo, prim, hit_geo = grid_traverse.disk_grid_nearest_hit(
+                    org, dirn, geometry.points, geometry.normals,
+                    geometry.radii, geometry.grid, t_near,
+                )
+            else:
+                t_geo, prim, hit_geo = intersect.disk_nearest_hit(
+                    org, dirn, geometry.points, geometry.normals,
+                    geometry.radii, t_near,
+                )
         else:
-            t_geo, prim, hit_geo = intersect.triangle_nearest_hit(
-                org, dirn, geometry.vertices, geometry.triangles, t_near,
-            )
+            if use_grid:
+                t_geo, prim, hit_geo = grid_traverse.triangle_grid_nearest_hit(
+                    org, dirn, geometry.vertices, geometry.triangles,
+                    geometry.grid, t_near,
+                )
+            else:
+                t_geo, prim, hit_geo = intersect.triangle_nearest_hit(
+                    org, dirn, geometry.vertices, geometry.triangles, t_near,
+                )
 
         # ---- 2. boundary-wall crossings ---------------------------------
         # The walls are FINITE rectangles spanning the adjusted bbox on the
@@ -189,7 +213,7 @@ def trace_batch(
         if dim == 3:
             t_w2 = wall_t(second_dir, lo2, hi2, first_dir, lo1, hi1)
         else:
-            t_w2 = jnp.full((R,), BIG)
+            t_w2 = jnp.full((Rb,), BIG)
 
         t_geo_m = jnp.where(hit_geo, t_geo, BIG)
         ts = jnp.stack([t_geo_m, t_w1, t_w2], axis=0)  # (3, R)
@@ -202,18 +226,18 @@ def trace_batch(
 
         # ---- 3. gas scattering (ref: rayTraceKernel.hpp:179-203) --------
         if mean_free_path > 0.0:
-            u_scat = jax.random.uniform(k_scat, (R,), dtype=dtype)
+            u_scat = jax.random.uniform(k_scat, (Rb,), dtype=dtype)
             p_scat = 1.0 - jnp.exp(-t_ev / mean_free_path)
             scattering = alive & (~is_exit) & (u_scat < p_scat)
             scatter_org = org + dirn * u_scat[:, None]
-            rnd_sphere = _unit_sphere_batch(k_scat_dir, R, dtype)
+            rnd_sphere = _unit_sphere_batch(k_scat_dir, Rb, dtype)
             if dim == 2:
                 rnd_sphere = rnd_sphere.at[:, 2].set(0.0)
                 rnd_sphere = rnd_sphere / jnp.maximum(
                     jnp.linalg.norm(rnd_sphere, axis=1, keepdims=True), 1e-12
                 )
         else:
-            scattering = jnp.zeros((R,), bool)
+            scattering = jnp.zeros((Rb,), bool)
             scatter_org = org
             rnd_sphere = dirn
 
@@ -230,7 +254,7 @@ def trace_batch(
 
         new_org = org
         new_dir = dirn
-        dead = jnp.zeros((R,), bool)
+        dead = jnp.zeros((Rb,), bool)
 
         def apply_wall(mask, axis, lo, hi, bc, new_org, new_dir, dead):
             if bc == BoundaryCondition.REFLECTIVE:
@@ -268,7 +292,7 @@ def trace_batch(
             collide = is_geo_ev & (~backface)
         else:
             bf_kill = is_geo_ev & backface
-            bf_pass = jnp.zeros((R,), bool)
+            bf_pass = jnp.zeros((Rb,), bool)
             collide = is_geo_ev & (~backface)
 
         # flux accumulation (ref: DiffuseParticle::surfaceCollision adds the
@@ -351,13 +375,13 @@ def trace_batch(
             low = config.weight_threshold_frac * w0
             renew = config.renew_weight_frac * w0
             needs_roulette = collide & (new_weight < low)
-            u_roul = jax.random.uniform(k_roul, (R,), dtype=dtype)
+            u_roul = jax.random.uniform(k_roul, (Rb,), dtype=dtype)
             kill_prob = 1.0 - new_weight / jnp.maximum(renew, 1e-30)
             died_roulette = needs_roulette & (u_roul < kill_prob)
             renewed = needs_roulette & (~died_roulette)
             new_weight = jnp.where(renewed, renew, new_weight)
         else:
-            died_roulette = jnp.zeros((R,), bool)
+            died_roulette = jnp.zeros((Rb,), bool)
 
         survived_collide = (
             collide & (~died_absorb) & (~died_max_refl) & (~died_roulette)
@@ -431,8 +455,45 @@ def trace_batch(
             return body(s), None
 
         state, _ = jax.lax.scan(scan_body, state, None, length=bounces)
-    else:
-        state = jax.lax.while_loop(cond, body, state)
+        return state[9], state[10]
+
+    # ---- staged execution with ray compaction ---------------------------
+    # Roulette kills rays at different bounce counts, so a fixed-size
+    # wavefront wastes whole-batch work on a tail of stragglers (the
+    # divergent-lifetime problem, SURVEY §7 hard parts). Run the loop until
+    # the survivor count fits a 4x smaller batch, compact the survivors to
+    # the front (stable argsort — deterministic), and continue at the
+    # smaller width. Work becomes ~ total ray-bounces instead of
+    # max_bounces x batch.
+    min_stage = 2048
+    stage_caps = []
+    cap = R
+    while cap > min_stage:
+        cap //= 4
+        stage_caps.append(max(cap, min_stage))
+    stage_caps.append(0)  # final stage: run to extinction
+
+    for cap in stage_caps:
+        cap_c = jnp.int32(cap)
+
+        def stage_cond(s):
+            it, _, _, _, _, alive_s, *_ = s
+            return jnp.logical_and(
+                it < config.max_bounces,
+                jnp.sum(alive_s.astype(jnp.int32)) > cap_c,
+            )
+
+        state = jax.lax.while_loop(stage_cond, body, state)
+        if cap == 0:
+            break
+        (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, flux,
+         counters) = state
+        take = jnp.argsort(jnp.logical_not(alive), stable=True)[:cap]
+        state = (
+            it, org[take], dirn[take], weight[take], w0[take], alive[take],
+            hfb[take], n_refl[take], n_bdry[take], flux, counters,
+        )
+
     return state[9], state[10]
 
 
