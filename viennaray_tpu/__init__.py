@@ -11,6 +11,25 @@ smoothing — plus what the reference never had: multi-chip ray sharding over
 See SURVEY.md for the structural map of the reference this build follows.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: trace kernels are large staged loops and
+# recompiling them per process dominates small runs. Opt out with
+# VIENNARAY_TPU_NO_CACHE=1.
+if not _os.environ.get("VIENNARAY_TPU_NO_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "VIENNARAY_TPU_CACHE_DIR",
+        _os.path.expanduser("~/.cache/viennaray_tpu_jax"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort
+        pass
+
 from .config import (
     BoundaryCondition,
     NormalizationType,

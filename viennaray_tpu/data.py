@@ -82,6 +82,14 @@ class TracingData:
         except ValueError:
             raise KeyError(f"No vector data labelled {label!r} in TracingData")
 
+    def add_vector_data(self, size: int, label: str = "vectorData",
+                        value: float = 0.0) -> int:
+        """Append a new labelled channel; returns its index."""
+        self._vector.append(np.full(int(size), value, np.float64))
+        self._vector_labels.append(label)
+        self._vector_merge.append(MergeType.SUM)
+        return len(self._vector) - 1
+
     def set_vector_merge_type(self, num: int, merge: MergeType):
         self._vector_merge[num] = MergeType(merge)
 

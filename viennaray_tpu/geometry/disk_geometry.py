@@ -47,6 +47,11 @@ class DiskGeometry:
     areas: jnp.ndarray
     bbox: jnp.ndarray
     grid: Optional[GridData] = None
+    # SoA packing (8, Npad) for the fused Pallas nearest-hit kernel
+    prims_soa: Optional[jnp.ndarray] = None
+    # per-prim neighbor records (N, K*8): [center(3) normal(3) radius valid]*K
+    # -> ONE contiguous gather per hit instead of K small ones (measured 5x)
+    neighbor_pack: Optional[jnp.ndarray] = None
     dim: int = struct.field(pytree_node=False, default=3)
     grid_delta: float = struct.field(pytree_node=False, default=0.0)
     disk_radius: float = struct.field(pytree_node=False, default=0.0)
@@ -113,6 +118,18 @@ class DiskGeometry:
                 dims=g.dims,
             )
 
+        from ..ops.pallas_intersect import pack_disk_prims
+
+        prims_soa = jnp.asarray(pack_disk_prims(points, normals, radii_arr))
+
+        k = nbrs.shape[1]
+        cl = np.clip(nbrs, 0, None)
+        pack = np.zeros((n, k, 8), np.float32)
+        pack[:, :, 0:3] = points[cl]
+        pack[:, :, 3:6] = normals[cl]
+        pack[:, :, 6] = radii_arr[cl]
+        pack[:, :, 7] = (nbrs >= 0).astype(np.float32)
+
         return cls(
             points=jnp.asarray(points, dtype),
             normals=jnp.asarray(normals, dtype),
@@ -122,6 +139,8 @@ class DiskGeometry:
             areas=jnp.zeros((n,), dtype),
             bbox=jnp.asarray(bbox, dtype),
             grid=grid,
+            prims_soa=prims_soa,
+            neighbor_pack=jnp.asarray(pack.reshape(n, k * 8)),
             dim=dim,
             grid_delta=float(grid_delta),
             disk_radius=float(disk_radius),

@@ -78,6 +78,19 @@ def build_grid(
         clo[:, 2] = 0
         chi[:, 2] = 0
 
+    from ..utils import native
+
+    got = native.build_grid_native(prim_lo, prim_hi, lo, cell, dims, dim)
+    if got is not None:
+        cells_n, counts_n = got
+        return UniformGrid(
+            cells=cells_n,
+            counts=counts_n,
+            origin=lo.astype(np.float32),
+            cell_size=np.float32(cell),
+            dims=(int(dims[0]), int(dims[1]), int(dims[2])),
+        )
+
     # enumerate (cell, prim) pairs
     spans = chi - clo + 1
     counts_per_prim = np.prod(spans, axis=1)

@@ -29,6 +29,14 @@ def build_neighborhood(points: np.ndarray, distance: float, dim: int = 3):
     if n == 0 or distance <= 0:
         return np.full((n, 1), -1, np.int32), np.zeros((n,), np.int32)
 
+    from ..utils import native
+
+    got = native.build_neighborhood_native(
+        np.asarray(points, np.float64), distance, dim
+    )
+    if got is not None:
+        return got
+
     inv_cell = 1.0 / distance
     mins = points.min(axis=0)
     cells = np.floor((points - mins) * inv_cell).astype(np.int64)

@@ -248,13 +248,16 @@ class _TraceBase:
         return np.asarray(flux)
 
     def _store_local_data(self, flux):
-        labels = list(self._particle.data_labels)
-        if self._local_data.num_vector_data != len(labels):
-            self._local_data.set_number_of_vector_data(len(labels))
-            for i, lbl in enumerate(labels):
-                self._local_data.set_vector_data(i, len(flux), 0.0, lbl)
-        for i, lbl in enumerate(labels):
-            self._local_data.accumulate_vector(i, flux)
+        """Accumulate into labelled channels; channels are keyed by label so
+        multi-species runs (different particles, same tracer) keep separate
+        flux rows like the GPU tracer's species x label buffer
+        (gpu/raygTrace.hpp:97-99)."""
+        for lbl in self._particle.data_labels:
+            try:
+                idx = self._local_data.get_vector_data_index(lbl)
+            except KeyError:
+                idx = self._local_data.add_vector_data(len(flux), lbl)
+            self._local_data.accumulate_vector(idx, flux)
 
 
 class TraceDisk(_TraceBase):
