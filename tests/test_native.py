@@ -32,6 +32,22 @@ def test_native_neighborhood_matches_brute_force():
 
 
 @pytest.mark.skipif(native.load() is None, reason="native lib unavailable")
+def test_native_neighborhood_flat_geometry_no_duplicates():
+    """Regression: flat geometry collapses a grid axis to span 1, which made
+    distinct cell offsets alias to the same cell and emit every neighbor
+    multiple times (inflating disk multi-hit flux by ~40%)."""
+    xs = np.arange(-2.0, 2.0 + 1e-9, 0.1)
+    pts = np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], axis=1)
+    for dim in (2, 3):
+        nbrs, counts = native.build_neighborhood_native(pts, 0.1415, dim)
+        for i in range(len(pts)):
+            row = nbrs[i][nbrs[i] >= 0]
+            assert len(row) == len(set(row.tolist())), (dim, i, row)
+        # interior points have exactly 2 neighbors at spacing 0.1
+        assert counts[5] == 2
+
+
+@pytest.mark.skipif(native.load() is None, reason="native lib unavailable")
 def test_native_grid_matches_numpy():
     import os
 

@@ -9,6 +9,7 @@
 //
 // Exposed via ctypes (see viennaray_tpu/utils/native.py); plain C ABI.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -78,7 +79,9 @@ int64_t vr_build_neighborhood(
   if (fill)
     for (int64_t i = 0; i < n * k_max_in; ++i) neighbors[i] = -1;
 
-  // neighbor cell offsets (3^dim)
+  // neighbor cell offsets (3^dim). When an axis span collapses to 1 (flat
+  // geometry), distinct (a,b,c) tuples alias to the SAME linear cell; visiting
+  // it repeatedly would duplicate every neighbor pair — dedupe the offsets.
   int64_t offs[27];
   int n_offs = 0;
   if (dim == 2) {
@@ -90,6 +93,8 @@ int64_t vr_build_neighborhood(
         for (int c = -1; c <= 1; ++c)
           offs[n_offs++] = a * stride[0] + b * stride[1] + c;
   }
+  std::sort(offs, offs + n_offs);
+  n_offs = (int)(std::unique(offs, offs + n_offs) - offs);
 
   int64_t k_max = 0;
   for (int64_t i = 0; i < n; ++i) {
