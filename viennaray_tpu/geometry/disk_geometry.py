@@ -47,8 +47,12 @@ class DiskGeometry:
     areas: jnp.ndarray
     bbox: jnp.ndarray
     grid: Optional[GridData] = None
-    # SoA packing (8, Npad) for the fused Pallas nearest-hit kernel
+    # SoA packing (8, Npad) for the fused Pallas nearest-hit kernel, spatially
+    # sorted source-side-first; soa_perm maps sorted->original ids and
+    # soa_chunk_bbs carries per-chunk AABBs for the slab-skip test
     prims_soa: Optional[jnp.ndarray] = None
+    soa_perm: Optional[jnp.ndarray] = None
+    soa_chunk_bbs: Optional[jnp.ndarray] = None
     # per-prim neighbor records (N, K*8): [center(3) normal(3) radius valid]*K
     # -> ONE contiguous gather per hit instead of K small ones (measured 5x)
     neighbor_pack: Optional[jnp.ndarray] = None
@@ -120,7 +124,11 @@ class DiskGeometry:
 
         from ..ops.pallas_intersect import pack_disk_prims
 
-        prims_soa = jnp.asarray(pack_disk_prims(points, normals, radii_arr))
+        sort_axis = 2 if dim == 3 else 1
+        soa, soa_perm, soa_bbs = pack_disk_prims(
+            points, normals, radii_arr, sort_axis=sort_axis
+        )
+        prims_soa = jnp.asarray(soa)
 
         k = nbrs.shape[1]
         cl = np.clip(nbrs, 0, None)
@@ -140,6 +148,8 @@ class DiskGeometry:
             bbox=jnp.asarray(bbox, dtype),
             grid=grid,
             prims_soa=prims_soa,
+            soa_perm=jnp.asarray(soa_perm),
+            soa_chunk_bbs=jnp.asarray(soa_bbs),
             neighbor_pack=jnp.asarray(pack.reshape(n, k * 8)),
             dim=dim,
             grid_delta=float(grid_delta),

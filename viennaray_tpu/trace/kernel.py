@@ -195,7 +195,8 @@ def trace_batch(
         if geo_type == "disk":
             if use_pallas:
                 t_geo, prim, hit_geo = pallas_intersect.disk_nearest_hit_pallas(
-                    org, dirn, geometry.prims_soa, t_near=config.t_near,
+                    org, dirn, geometry.prims_soa, geometry.soa_perm,
+                    geometry.soa_chunk_bbs, t_near=config.t_near,
                 )
             elif use_grid:
                 t_geo, prim, hit_geo = grid_traverse.disk_grid_nearest_hit(

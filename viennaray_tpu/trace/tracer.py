@@ -75,6 +75,8 @@ class _TraceBase:
             os.environ.get("VIENNARAY_TPU_BATCH", 2**17)
         )
         self._use_wdist = False
+        self._print_progress = False
+        self._log_fn = None
         self._local_data = TracingData()
         self._global_data = None
         self._info = TraceInfo()
@@ -134,6 +136,20 @@ class _TraceBase:
 
     def set_use_wdist(self, use: bool):
         self._use_wdist = bool(use)
+
+    def enable_progress_bar(self):
+        """(ref: rayTrace.hpp:69) — prints one line per mega-batch."""
+        self._print_progress = True
+
+    def disable_progress_bar(self):
+        self._print_progress = False
+
+    def set_data_log_fn(self, fn):
+        """Per-batch data logging hook (TPU analog of particle->logData,
+        rayUtil.hpp:49-63 + rayTraceKernel.hpp:132): fn(batch_key,
+        ray_indices, valid) -> list of 1-D contribution arrays, summed
+        additively across batches/runs into get_data_log().data."""
+        self._log_fn = fn
 
     # -- data access (ref: rayTrace.hpp:135-145) ---------------------------
     def get_local_data(self) -> TracingData:
@@ -231,6 +247,20 @@ class _TraceBase:
                 ray_indices, valid, flux, config, geo_type,
             )
             totals += np.array([int(c) for c in counters], np.int64)
+            if self._log_fn is not None:
+                rows = self._log_fn(batch_key, ray_indices, valid)
+                rows = [np.asarray(r, np.float64) for r in rows]
+                if not self._data_log.data:
+                    self._data_log.data = rows
+                else:
+                    for j, r in enumerate(rows):
+                        self._data_log.data[j] = self._data_log.data[j] + r
+            if self._print_progress:
+                print(
+                    f"viennaray-tpu: batch {b + 1}/{num_batches} "
+                    f"({min((b + 1) * batch, total_rays)}/{total_rays} rays)",
+                    flush=True,
+                )
         flux.block_until_ready()
         elapsed = time.perf_counter() - t0
 
