@@ -49,7 +49,8 @@ from .physics.particle import (
     SpecularParticle,
 )
 from .physics.source import GridSource, RandomSource, SurfaceSource
-from .trace.tracer import TraceDisk, TraceTriangle
+from .geometry.line_geometry import LineGeometry
+from .trace.tracer import TraceDisk, TraceLine, TraceTriangle
 
 __version__ = "0.1.0"
 
@@ -78,5 +79,7 @@ __all__ = [
     "GridSource",
     "SurfaceSource",
     "TraceDisk",
+    "TraceLine",
     "TraceTriangle",
+    "LineGeometry",
 ]

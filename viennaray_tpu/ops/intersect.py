@@ -165,6 +165,66 @@ def triangle_nearest_hit(org, direction, vertices, triangles, t_near, chunk=1024
     return t_min, arg_min, hit
 
 
+def line_nearest_hit(org, direction, p0, p1, t_near, chunk=1024):
+    """Closest 2D segment hit per ray (ref: GeneralPipelineLine.cu:19-49).
+
+    denom = dx*ly - dy*lx;  t = ((p0-o)_x*ly - (p0-o)_y*lx)/denom;
+    s = ((p0-o)_x*dy - (p0-o)_y*dx)/denom; valid when t > t_near and
+    s in (1e-5, 1 - 1e-5) — the reference's endpoint clip.
+    Returns (t (R,), prim (R,) int32, hit (R,) bool).
+    """
+    R = org.shape[0]
+    N = p0.shape[0]
+    pad = (-N) % chunk
+    if pad:
+        p0 = jnp.pad(p0, ((0, pad), (0, 0)), constant_values=1e18)
+        p1 = jnp.pad(p1, ((0, pad), (0, 0)), constant_values=1e18)
+    ld = p1 - p0  # (N', 3) segment direction
+
+    eps_s = jnp.float32(1e-5)
+
+    def per_chunk(start):
+        a0 = jax.lax.dynamic_slice_in_dim(p0, start, chunk)
+        d0 = jax.lax.dynamic_slice_in_dim(ld, start, chunk)
+        lx = d0[None, :, 0]
+        ly = d0[None, :, 1]
+        dx = direction[:, 0:1]
+        dy = direction[:, 1:2]
+        denom = dx * ly - dy * lx  # (R, P)
+        inv = 1.0 / jnp.where(denom == 0, 1e-30, denom)
+        wx = a0[None, :, 0] - org[:, 0:1]
+        wy = a0[None, :, 1] - org[:, 1:2]
+        t = (wx * ly - wy * lx) * inv
+        s = (wx * dy - wy * dx) * inv
+        valid = (
+            (denom != 0)
+            & (t > t_near)
+            & (s > eps_s)
+            & (s < 1.0 - eps_s)
+        )
+        return t, valid
+
+    num_chunks = p0.shape[0] // chunk
+    t_min = jnp.full((R,), BIG)
+    arg_min = jnp.zeros((R,), jnp.int32)
+
+    def body(i, carry):
+        t_m, a_m = carry
+        t_c, valid = per_chunk(i * chunk)
+        t_c = jnp.where(valid, t_c, BIG)
+        idx_c = jnp.argmin(t_c, axis=1).astype(jnp.int32)
+        t_best = jnp.take_along_axis(t_c, idx_c[:, None], axis=1)[:, 0]
+        take = t_best < t_m
+        return (
+            jnp.where(take, t_best, t_m),
+            jnp.where(take, i * chunk + idx_c, a_m),
+        )
+
+    t_min, arg_min = jax.lax.fori_loop(0, num_chunks, body, (t_min, arg_min))
+    hit = t_min < BIG
+    return t_min, arg_min, hit
+
+
 def check_neighbors_packed(org, direction, rec):
     """Neighbor re-test over a pre-packed record gather.
 

@@ -130,7 +130,12 @@ def trace_batch(
     )
 
     R = ray_indices.shape[0]
-    dtype = geometry.points.dtype if geo_type == "disk" else geometry.vertices.dtype
+    if geo_type == "disk":
+        dtype = geometry.points.dtype
+    elif geo_type == "triangle":
+        dtype = geometry.vertices.dtype
+    else:  # line
+        dtype = geometry.p0.dtype
     n_prims = geometry.num_primitives
 
     lo1, hi1 = bbox[0, first_dir], bbox[1, first_dir]
@@ -208,7 +213,7 @@ def trace_batch(
                     org, dirn, geometry.points, geometry.normals,
                     geometry.radii, t_near,
                 )
-        else:
+        elif geo_type == "triangle":
             if use_grid:
                 t_geo, prim, hit_geo = grid_traverse.triangle_grid_nearest_hit(
                     org, dirn, geometry.vertices, geometry.triangles,
@@ -218,6 +223,10 @@ def trace_batch(
                 t_geo, prim, hit_geo = intersect.triangle_nearest_hit(
                     org, dirn, geometry.vertices, geometry.triangles, t_near,
                 )
+        else:  # native 2D line segments (ref: GeneralPipelineLine.cu)
+            t_geo, prim, hit_geo = intersect.line_nearest_hit(
+                org, dirn, geometry.p0, geometry.p1, t_near,
+            )
 
         # ---- 2. boundary-wall crossings ---------------------------------
         # The walls are FINITE rectangles spanning the adjusted bbox on the

@@ -366,6 +366,56 @@ class TraceDisk(_TraceBase):
             self._info.warning = True
 
 
+class TraceLine(_TraceBase):
+    """Native 2D line-segment tracer — parity with the GPU-only
+    ``gpu::TraceLine`` (gpu/raygTraceLine.hpp): segments are primitives (no
+    triangle extrusion), flux is per segment, areas are segment lengths,
+    smoothing is not implemented."""
+
+    def __init__(self):
+        super().__init__(dim=2)
+
+    def set_geometry(self, mesh: LineMesh, material_ids=None):
+        from ..geometry.line_geometry import LineGeometry
+
+        self.geometry = LineGeometry.from_mesh(mesh, material_ids=material_ids)
+
+    def set_material_ids(self, material_ids):
+        self.geometry = self.geometry.replace(
+            material_ids=jnp.asarray(np.asarray(material_ids, np.int32))
+        )
+
+    def apply(self):
+        if self._particle is None:
+            self._info.error = True
+            raise ValueError("No particle was specified in TraceLine")
+        if self.geometry is None:
+            self._info.error = True
+            raise ValueError("No geometry was passed to TraceLine")
+        flux = self._run_trace(self.geometry, "line")
+        self._store_local_data(flux)
+        return flux
+
+    def normalize_flux(self, flux, norm: NormalizationType = NormalizationType.SOURCE):
+        """flux *= sourceArea/(length * numRays)
+        (ref: gpu/raygTraceLine.hpp:29-58, normKernels.cu line variant)."""
+        flux = jnp.asarray(flux, jnp.float32)
+        areas = self.geometry.areas
+        if NormalizationType(norm) == NormalizationType.MAX:
+            out = postprocess.normalize_flux_max_triangle(flux, areas)
+        else:
+            config = self._make_config()
+            total = config.total_rays(self.geometry.num_primitives)
+            out = postprocess.normalize_flux_source(
+                flux, areas, self._last_source.source_area(), total
+            )
+        return np.asarray(out)
+
+    def smooth_flux(self, flux, num_neighbors: int = 1):
+        """Not implemented for line geometry (ref: raygTraceLine.hpp:26-28)."""
+        return np.asarray(flux)
+
+
 class TraceTriangle(_TraceBase):
     """Triangle-mesh tracer (ref: rayTraceTriangle.hpp)."""
 
