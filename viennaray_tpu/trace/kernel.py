@@ -178,24 +178,26 @@ def trace_batch(
         k_scat, k_scat_dir, k_refl, k_roul = jax.random.split(key_b, 4)
 
         # ---- 1. intersect geometry (ref: rayTraceKernel.hpp:163-167) ----
-        # grid DDA when an acceleration structure is attached (the BVH
-        # replacement, SURVEY §7); brute-force chunked tiles otherwise.
-        # For small prim counts the MXU brute force beats the gather-bound
-        # DDA on TPU, so the grid only engages above grid_min_prims.
-        # The differentiable path always brute-forces: the DDA's inner
-        # while_loop is not reverse-differentiable.
-        use_grid = (
-            geometry.grid is not None
-            and not differentiable
-            and n_prims >= config.grid_min_prims
-        )
+        # Backend selection (measured on v5e, 65k rays x 67k disks):
+        #   fused Pallas chunk-skip kernel   33 ms
+        #   XLA grid DDA (gather-bound)     956 ms
+        #   XLA chunked MXU brute force     ~60 ms
+        # -> the Pallas kernel is the default whenever the SoA geometry fits
+        # VMEM (~260k prims); the DDA remains the out-of-VMEM fallback. The
+        # differentiable path brute-forces (no inner while_loop).
         use_pallas = (
             geo_type == "disk"
-            and not use_grid
             and not differentiable
             and getattr(geometry, "prims_soa", None) is not None
+            and geometry.prims_soa.shape[1] <= 262144
             and jax.default_backend() == "tpu"
             and Rb % 512 == 0
+        )
+        use_grid = (
+            geometry.grid is not None
+            and not use_pallas
+            and not differentiable
+            and n_prims >= config.grid_min_prims
         )
         if geo_type == "disk":
             if use_pallas:
