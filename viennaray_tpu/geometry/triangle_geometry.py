@@ -33,6 +33,9 @@ class TriangleGeometry:
     material_ids: jnp.ndarray
     bbox: jnp.ndarray
     grid: "GridData" = None
+    prims_soa: jnp.ndarray = None
+    soa_perm: jnp.ndarray = None
+    soa_chunk_bbs: jnp.ndarray = None
     dim: int = struct.field(pytree_node=False, default=3)
     grid_delta: float = struct.field(pytree_node=False, default=0.0)
 
@@ -87,6 +90,13 @@ class TriangleGeometry:
         )
         bbox = compute_bounding_box(vertices)
 
+        from ..ops.pallas_intersect import pack_triangle_prims
+
+        sort_axis = 2 if dim == 3 else 1
+        soa, soa_perm, soa_bbs = pack_triangle_prims(
+            vertices, triangles, sort_axis=sort_axis
+        )
+
         grid = None
         if accel and n > 0:
             g = grid_accel.build_triangle_grid(vertices, triangles, dim=dim)
@@ -105,6 +115,9 @@ class TriangleGeometry:
             material_ids=jnp.asarray(mat),
             bbox=jnp.asarray(bbox, dtype),
             grid=grid,
+            prims_soa=jnp.asarray(soa),
+            soa_perm=jnp.asarray(soa_perm),
+            soa_chunk_bbs=jnp.asarray(soa_bbs),
             dim=dim,
             grid_delta=float(grid_delta),
         )

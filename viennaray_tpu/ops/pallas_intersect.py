@@ -169,6 +169,200 @@ def _kernel(org_ref, dir_ref, prims_ref, bb_ref, tmin_ref, idx_ref, *, pt,
     idx_ref[:] = idx
 
 
+TRI_ROWS = 9
+
+
+def pack_triangle_prims(vertices, triangles, pad_to=DEFAULT_PT, sort_axis=2):
+    """SoA triangle packing: rows [v0(3) e1(3) e2(3)] -> (9, Npad), spatially
+    sorted source-side-first like the disk packing.
+
+    Returns (prims (9, Npad), perm (Npad,) int32, chunk_bboxes (n_chunks, 8)).
+    """
+    vertices = np.asarray(vertices, np.float32)
+    triangles = np.asarray(triangles, np.int64)
+    n = len(triangles)
+    v0 = vertices[triangles[:, 0]]
+    v1 = vertices[triangles[:, 1]]
+    v2 = vertices[triangles[:, 2]]
+
+    if n > 0:
+        centroid = (v0 + v1 + v2) / 3.0
+        scale = max(float(np.abs(v1 - v0).max()), 1e-6) * 4.0
+        c = np.floor(centroid / scale).astype(np.int64)
+        lat = [a for a in range(3) if a != sort_axis]
+        key = (
+            -c[:, sort_axis] * (1 << 42)
+            + c[:, lat[0]] * (1 << 21)
+            + c[:, lat[1]]
+        )
+        order = np.argsort(key, kind="stable").astype(np.int32)
+    else:
+        order = np.zeros((0,), np.int32)
+
+    v0s, v1s, v2s = v0[order], v1[order], v2[order]
+    npad = -(-max(n, 1) // pad_to) * pad_to
+    out = np.zeros((TRI_ROWS, npad), np.float32)
+    out[0:3, :n] = v0s.T
+    out[3:6, :n] = (v1s - v0s).T
+    out[6:9, :n] = (v2s - v0s).T
+    out[0:3, n:] = 1e18  # far-away padding; zero edges -> det==0 -> invalid
+
+    perm = np.zeros((npad,), np.int32)
+    perm[:n] = order
+
+    n_chunks = npad // pad_to
+    bbs = np.full((n_chunks, 8), 1e18, np.float32)
+    for ci in range(n_chunks):
+        lo = ci * pad_to
+        hi = min(lo + pad_to, n)
+        if hi <= lo:
+            continue
+        allv = np.concatenate([v0s[lo:hi], v1s[lo:hi], v2s[lo:hi]])
+        bbs[ci, 0:3] = allv.min(axis=0)
+        bbs[ci, 3:6] = allv.max(axis=0)
+        bbs[ci, 6:8] = 0.0
+    return out, perm, bbs
+
+
+def _tri_kernel(org_ref, dir_ref, prims_ref, bb_ref, tmin_ref, idx_ref, *,
+                pt, t_near):
+    o = org_ref[:]
+    d = dir_ref[:]
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    rt = o.shape[0]
+    npad = prims_ref.shape[1]
+
+    inv_x = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+    inv_y = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+    inv_z = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+
+    def body(i, carry):
+        tmin, idx = carry
+        t0x = (bb_ref[i, 0] - ox) * inv_x
+        t1x = (bb_ref[i, 3] - ox) * inv_x
+        t0y = (bb_ref[i, 1] - oy) * inv_y
+        t1y = (bb_ref[i, 4] - oy) * inv_y
+        t0z = (bb_ref[i, 2] - oz) * inv_z
+        t1z = (bb_ref[i, 5] - oz) * inv_z
+        tlo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        thi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        need = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < tmin))
+
+        def full(carry):
+            tmin, idx = carry
+            sl = pl.ds(i * pt, pt)
+            ax = prims_ref[0, sl][None, :]
+            ay = prims_ref[1, sl][None, :]
+            az = prims_ref[2, sl][None, :]
+            e1x = prims_ref[3, sl][None, :]
+            e1y = prims_ref[4, sl][None, :]
+            e1z = prims_ref[5, sl][None, :]
+            e2x = prims_ref[6, sl][None, :]
+            e2y = prims_ref[7, sl][None, :]
+            e2z = prims_ref[8, sl][None, :]
+
+            # Moller-Trumbore, double-sided
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = hx * e1x + hy * e1y + hz * e1z
+            dsafe = jnp.where(jnp.abs(det) < 1e-9, 1e-30, det)
+            r0 = pl.reciprocal(dsafe, approx=True)
+            r0 = r0 * (2.0 - dsafe * r0)
+            sx = ox - ax
+            sy = oy - ay
+            sz = oz - az
+            u = (sx * hx + sy * hy + sz * hz) * r0
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = (qx * dx + qy * dy + qz * dz) * r0
+            t = (qx * e2x + qy * e2y + qz * e2z) * r0
+            valid = (
+                (jnp.abs(det) >= 1e-9)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > t_near)
+            )
+            tt = jnp.where(valid, t, 3.4e38)
+            cmin = jnp.min(tt, axis=1, keepdims=True)
+            carg = jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None] + i * pt
+            take = cmin < tmin
+            return (jnp.where(take, cmin, tmin), jnp.where(take, carg, idx))
+
+        return jax.lax.cond(need, full, lambda c: c, carry)
+
+    init = (
+        jnp.full((rt, 1), 3.4e38, jnp.float32),
+        jnp.zeros((rt, 1), jnp.int32),
+    )
+    tmin, idx = jax.lax.fori_loop(0, npad // pt, body, init)
+    tmin_ref[:] = tmin
+    idx_ref[:] = idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_near", "rt", "pt", "interpret")
+)
+def triangle_nearest_hit_pallas(
+    org, dirn, prims, perm=None, chunk_bbs=None, t_near=1e-4, rt=512,
+    pt=DEFAULT_PT, interpret=False,
+):
+    """Closest triangle hit via the fused kernel; same contract as the disk
+    variant. prims: (9, Npad) from pack_triangle_prims."""
+    R = org.shape[0]
+    grid = (R // rt,)
+    if chunk_bbs is None:
+        n_chunks = prims.shape[1] // pt
+        chunk_bbs = jnp.concatenate(
+            [
+                jnp.full((n_chunks, 3), -3.0e38, jnp.float32),
+                jnp.full((n_chunks, 3), 3.0e38, jnp.float32),
+                jnp.zeros((n_chunks, 2), jnp.float32),
+            ],
+            axis=1,
+        )
+    kernel = functools.partial(_tri_kernel, pt=pt, t_near=float(t_near))
+    tmin, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rt, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (TRI_ROWS, prims.shape[1]),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                chunk_bbs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(org, dirn, prims, chunk_bbs)
+    tmin = tmin[:, 0]
+    idx = idx[:, 0]
+    if perm is not None:
+        idx = perm[idx]
+    return tmin, idx, tmin < BIG
+
+
 @functools.partial(
     jax.jit, static_argnames=("t_near", "rt", "pt", "interpret")
 )

@@ -186,7 +186,7 @@ def trace_batch(
         # VMEM (~260k prims); the DDA remains the out-of-VMEM fallback. The
         # differentiable path brute-forces (no inner while_loop).
         use_pallas = (
-            geo_type == "disk"
+            geo_type in ("disk", "triangle")
             and not differentiable
             and getattr(geometry, "prims_soa", None) is not None
             and geometry.prims_soa.shape[1] <= 262144
@@ -216,7 +216,14 @@ def trace_batch(
                     geometry.radii, t_near,
                 )
         elif geo_type == "triangle":
-            if use_grid:
+            if use_pallas:
+                t_geo, prim, hit_geo = (
+                    pallas_intersect.triangle_nearest_hit_pallas(
+                        org, dirn, geometry.prims_soa, geometry.soa_perm,
+                        geometry.soa_chunk_bbs, t_near=config.t_near,
+                    )
+                )
+            elif use_grid:
                 t_geo, prim, hit_geo = grid_traverse.triangle_grid_nearest_hit(
                     org, dirn, geometry.vertices, geometry.triangles,
                     geometry.grid, t_near,
