@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Generate cross-round golden flux files for the BASELINE.json configs.
+
+The Embree reference cannot be built here (no network for its CPM
+dependencies — BASELINE.md), so these goldens freeze OUR validated flux
+fields (which pass the analytic view-factor and uniform-flux contracts) as
+regression anchors: any future kernel change that shifts physics beyond
+Monte Carlo noise trips tests/test_goldens.py.
+
+Run on CPU for environment-independence: python benchmarks/make_goldens.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+import viennaray_tpu as vrt
+from viennaray_tpu.io import dat, fixtures
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+REF2D = "/root/reference/examples/disk2D/trenchGrid2D.dat"
+
+
+def config_trace2d():
+    """BASELINE config 1: flat 2D line geometry, sticking 1.0."""
+    xs = np.arange(-2.0, 2.0 + 1e-9, 0.1)
+    pts = np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], 1).astype(np.float32)
+    nrm = np.tile([0.0, 1.0, 0.0], (len(xs), 1)).astype(np.float32)
+    t = vrt.TraceDisk(dim=2)
+    t.set_geometry(pts, nrm, 0.1)
+    t.set_boundary_conditions([vrt.BoundaryCondition.REFLECTIVE] * 2)
+    t.set_particle_type(vrt.DiffuseParticle(1.0, "flux"))
+    t.set_source_direction(vrt.TraceDirection.POS_Y)
+    t.set_number_of_rays_fixed(100_000)
+    t.set_rng_seed(12345)
+    t.set_ray_batch_size(16384)
+    return t
+
+
+def config_disk2d_trench():
+    """BASELINE config 2: 2D trench, sticking 0.1, multi-bounce."""
+    if os.path.exists(REF2D):
+        gd, pts, nrm = dat.read_grid_from_file(REF2D)
+    else:
+        pts, nrm = fixtures.create_trench_grid_2d(grid_delta=0.1)
+        gd = 0.1
+    t = vrt.TraceDisk(dim=2)
+    t.set_geometry(pts, nrm, gd)
+    t.set_boundary_conditions([vrt.BoundaryCondition.PERIODIC] * 2)
+    t.set_particle_type(vrt.DiffuseParticle(0.1, "flux"))
+    t.set_source_direction(vrt.TraceDirection.POS_Y)
+    t.set_number_of_rays_fixed(200_000)
+    t.set_rng_seed(12345)
+    t.set_ray_batch_size(16384)
+    return t
+
+
+def config_disk3d_trench():
+    """BASELINE config 3 (scaled down for golden): 3D trench, smoothing."""
+    pts, nrm = fixtures.create_trench_grid_3d(grid_delta=0.5)
+    t = vrt.TraceDisk(dim=3)
+    t.set_geometry(pts, nrm, 0.5)
+    t.set_boundary_conditions([vrt.BoundaryCondition.PERIODIC] * 3)
+    t.set_particle_type(vrt.SpecularParticle(0.5, 2.0, "flux"))
+    t.set_number_of_rays_fixed(200_000)
+    t.set_rng_seed(12345)
+    t.set_ray_batch_size(16384)
+    return t
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    manifest = {}
+    for name, make in [
+        ("trace2d", config_trace2d),
+        ("disk2d_trench", config_disk2d_trench),
+        ("disk3d_trench", config_disk3d_trench),
+    ]:
+        t = make()
+        flux = t.apply()
+        norm = t.normalize_flux(flux)
+        if name == "disk3d_trench":
+            norm = t.smooth_flux(norm, 1)
+        np.save(os.path.join(OUT, f"{name}.npy"), norm.astype(np.float32))
+        info = t.get_ray_trace_info()
+        manifest[name] = {
+            "num_rays": info.num_rays,
+            "geometry_hits": info.geometry_hits,
+            "mean": float(np.mean(norm)),
+            "max": float(np.max(norm)),
+        }
+        print(name, manifest[name], flush=True)
+    with open(os.path.join(OUT, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Cross-round golden flux regression (see benchmarks/make_goldens.py).
+
+Goldens are generated on CPU with fixed seeds; these tests re-trace the same
+configs and require statistical agreement (the trace is bitwise reproducible
+for a fixed backend, but goldens may have been generated on a different
+backend, so tolerances are Monte Carlo sized)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "benchmarks",
+    "golden",
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(GOLDEN_DIR, "manifest.json")),
+    reason="goldens not generated",
+)
+
+
+def _load(name):
+    flux = np.load(os.path.join(GOLDEN_DIR, f"{name}.npy"))
+    with open(os.path.join(GOLDEN_DIR, "manifest.json")) as f:
+        manifest = json.load(f)
+    return flux, manifest[name]
+
+
+def _rel_l2(a, b):
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+
+def test_golden_trace2d():
+    from benchmarks.make_goldens import config_trace2d
+
+    golden, meta = _load("trace2d")
+    t = config_trace2d()
+    norm = t.normalize_flux(t.apply())
+    assert _rel_l2(norm, golden) < 0.05
+
+
+def test_golden_disk2d_trench():
+    from benchmarks.make_goldens import config_disk2d_trench
+
+    golden, meta = _load("disk2d_trench")
+    t = config_disk2d_trench()
+    norm = t.normalize_flux(t.apply())
+    assert _rel_l2(norm, golden) < 0.05
+
+
+def test_golden_disk3d_trench():
+    from benchmarks.make_goldens import config_disk3d_trench
+
+    golden, meta = _load("disk3d_trench")
+    t = config_disk3d_trench()
+    norm = t.smooth_flux(t.normalize_flux(t.apply()), 1)
+    assert _rel_l2(norm, golden) < 0.05
