@@ -95,7 +95,7 @@ def pack_disk_prims(points, normals, radii, pad_to=DEFAULT_PT, sort_axis=2):
 
 
 def _kernel(org_ref, dir_ref, prims_ref, bb_ref, tmin_ref, idx_ref, *, pt,
-            t_near):
+            t_near, use_skip=True):
     o = org_ref[:]  # (RT, 3)
     d = dir_ref[:]
     ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
@@ -111,7 +111,8 @@ def _kernel(org_ref, dir_ref, prims_ref, bb_ref, tmin_ref, idx_ref, *, pt,
         tmin, idx = carry
 
         # chunk AABB slab test: can ANY ray in this tile still hit the box
-        # nearer than its current best?
+        # nearer than its current best? (skipped statically for few-chunk
+        # geometries where the test costs more than it saves)
         t0x = (bb_ref[i, 0] - ox) * inv_x
         t1x = (bb_ref[i, 3] - ox) * inv_x
         t0y = (bb_ref[i, 1] - oy) * inv_y
@@ -225,7 +226,7 @@ def pack_triangle_prims(vertices, triangles, pad_to=DEFAULT_PT, sort_axis=2):
 
 
 def _tri_kernel(org_ref, dir_ref, prims_ref, bb_ref, tmin_ref, idx_ref, *,
-                pt, t_near):
+                pt, t_near, use_skip=True):
     o = org_ref[:]
     d = dir_ref[:]
     ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
@@ -298,7 +299,9 @@ def _tri_kernel(org_ref, dir_ref, prims_ref, bb_ref, tmin_ref, idx_ref, *,
             take = cmin < tmin
             return (jnp.where(take, cmin, tmin), jnp.where(take, carg, idx))
 
-        return jax.lax.cond(need, full, lambda c: c, carry)
+        if use_skip:
+            return jax.lax.cond(need, full, lambda c: c, carry)
+        return full(carry)
 
     init = (
         jnp.full((rt, 1), 3.4e38, jnp.float32),
@@ -330,7 +333,10 @@ def triangle_nearest_hit_pallas(
             ],
             axis=1,
         )
-    kernel = functools.partial(_tri_kernel, pt=pt, t_near=float(t_near))
+    kernel = functools.partial(
+        _tri_kernel, pt=pt, t_near=float(t_near),
+        use_skip=prims.shape[1] // pt >= 24,
+    )
     tmin, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -388,7 +394,10 @@ def disk_nearest_hit_pallas(
             ],
             axis=1,
         )
-    kernel = functools.partial(_kernel, pt=pt, t_near=float(t_near))
+    kernel = functools.partial(
+        _kernel, pt=pt, t_near=float(t_near),
+        use_skip=prims.shape[1] // pt >= 24,
+    )
     tmin, idx = pl.pallas_call(
         kernel,
         grid=grid,

@@ -104,6 +104,7 @@ def trace_batch(
     geo_type: str,
     collision_fn=None,
     reflection_fn=None,
+    aux_init_fn=None,
     differentiable: bool = False,
     num_bounces: Optional[int] = None,
 ):
@@ -113,10 +114,14 @@ def trace_batch(
     bbox: (2, 3) source-adjusted bounding box (ref: rayUtil.hpp:104-143).
     ray_indices: (R,) global ray indices (reserved for index-keyed sources).
     valid: (R,) bool — lanes beyond the total ray count start dead.
-    collision_fn(flux, prim, weight, dirn, normal, mat, key, mask) -> flux and
-    reflection_fn(key, dirn, normal, prim, mat, weight) -> (sticking, new_dir)
-    optionally override the particle's built-in behavior (the JAX analog of
-    the reference's virtual dispatch / GPU callable table).
+    collision_fn(flux, prim, weight, dirn, normal, mat, key[, aux]) -> flux and
+    reflection_fn(key, dirn, normal, prim, mat, weight[, aux]) ->
+    (sticking, new_dir[, aux]) optionally override the particle's built-in
+    behavior (the JAX analog of the reference's virtual dispatch / GPU
+    callable table). aux_init_fn(key, ray_indices) -> (R, A) allocates
+    per-ray auxiliary state (the analog of stateful custom particles, e.g.
+    ion energy set in initNew, rayParticle.hpp:30-31); when provided, both
+    hooks take and reflection_fn returns the aux array.
     """
     dim = config.dim
     ray_axis, first_dir, second_dir, _, _ = get_trace_settings(
@@ -156,6 +161,11 @@ def trace_batch(
     dirn = dirn.astype(dtype)
     w0 = w0.astype(dtype)
 
+    if aux_init_fn is not None:
+        aux0 = aux_init_fn(jax.random.fold_in(batch_key, 0xA0C), ray_indices)
+    else:
+        aux0 = jnp.zeros((R, 1), dtype)
+
     weight = jnp.where(valid, w0, 0.0)
     alive = valid
     hit_from_back = jnp.zeros((R,), bool)
@@ -172,7 +182,8 @@ def trace_batch(
         return jnp.logical_and(it < config.max_bounces, jnp.any(alive))
 
     def body(state):
-        (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, flux, cnt) = state
+        (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux, flux,
+         cnt) = state
         Rb = org.shape[0]  # stage width (shrinks after compaction)
         key_b = jax.random.fold_in(batch_key, it + 1)
         k_scat, k_scat_dir, k_refl, k_roul = jax.random.split(key_b, 4)
@@ -393,9 +404,14 @@ def trace_batch(
                 )
             ids_all = jnp.concatenate([prim_c[:, None], nb_c], axis=1)
             if collision_fn is not None:
-                flux = collision_fn(
-                    flux, ids_all, w_all, dirn, n_hit, mat_hit, key_b,
-                )
+                if aux_init_fn is not None:
+                    flux = collision_fn(
+                        flux, ids_all, w_all, dirn, n_hit, mat_hit, key_b, aux,
+                    )
+                else:
+                    flux = collision_fn(
+                        flux, ids_all, w_all, dirn, n_hit, mat_hit, key_b,
+                    )
             else:
                 flux = flux + _flux_add(
                     ids_all.reshape(-1), w_all.reshape(-1), n_prims
@@ -403,18 +419,31 @@ def trace_batch(
         else:
             w_hit = jnp.where(collide, weight, 0.0)
             if collision_fn is not None:
-                flux = collision_fn(
-                    flux, prim_c[:, None], w_hit[:, None], dirn, n_hit,
-                    mat_hit, key_b,
-                )
+                if aux_init_fn is not None:
+                    flux = collision_fn(
+                        flux, prim_c[:, None], w_hit[:, None], dirn, n_hit,
+                        mat_hit, key_b, aux,
+                    )
+                else:
+                    flux = collision_fn(
+                        flux, prim_c[:, None], w_hit[:, None], dirn, n_hit,
+                        mat_hit, key_b,
+                    )
             else:
                 flux = flux + _flux_add(prim_c, w_hit, n_prims)
 
         # ---- 6. reflection + sticking (ref: rayTraceKernel.hpp:309-335) --
+        aux_out = aux
         if reflection_fn is not None:
-            sticking, refl_dir = reflection_fn(
-                k_refl, dirn, n_hit, prim_c, mat_hit, weight
-            )
+            if aux_init_fn is not None:
+                sticking, refl_dir, aux_new = reflection_fn(
+                    k_refl, dirn, n_hit, prim_c, mat_hit, weight, aux
+                )
+                aux_out = jnp.where(collide[:, None], aux_new, aux)
+            else:
+                sticking, refl_dir = reflection_fn(
+                    k_refl, dirn, n_hit, prim_c, mat_hit, weight
+                )
         else:
             sticking = particle.sticking_for(mat_hit)
             refl_dir = particle.reflect(k_refl, dirn, n_hit, dim)
@@ -490,13 +519,14 @@ def trace_batch(
             hfb_out,
             n_refl_new,
             n_bdry_new,
+            aux_out,
             flux,
             cnt,
         )
 
     state = (
         jnp.int32(0), org, dirn, weight, w0, alive, hit_from_back,
-        n_refl, n_bdry, flux, counters,
+        n_refl, n_bdry, aux0, flux, counters,
     )
     if differentiable:
         # lax.while_loop is not reverse-differentiable; a fixed-length scan
@@ -509,7 +539,7 @@ def trace_batch(
             return body(s), None
 
         state, _ = jax.lax.scan(scan_body, state, None, length=bounces)
-        return state[9], state[10]
+        return state[-2], state[-1]
 
     # ---- staged execution with ray compaction ---------------------------
     # Roulette kills rays at different bounce counts, so a fixed-size
@@ -542,15 +572,15 @@ def trace_batch(
         state = jax.lax.while_loop(stage_cond, body, state)
         if cap == 0:
             break
-        (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, flux,
+        (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux, flux,
          counters) = state
         take = jnp.argsort(jnp.logical_not(alive), stable=True)[:cap]
         state = (
             it, org[take], dirn[take], weight[take], w0[take], alive[take],
-            hfb[take], n_refl[take], n_bdry[take], flux, counters,
+            hfb[take], n_refl[take], n_bdry[take], aux[take], flux, counters,
         )
 
-    return state[9], state[10]
+    return state[-2], state[-1]
 
 
 def _unit_sphere_batch(key, n, dtype):
