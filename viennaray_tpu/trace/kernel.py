@@ -66,16 +66,32 @@ class BatchCounters(NamedTuple):
         return cls(z, z, z, z, z, z)
 
 
+import os as _os
+
+_SCATTER_SPLIT = int(_os.environ.get("VIENNARAY_TPU_SCATTER_SPLIT", "8"))
+
+
 def _flux_add(ids, weights, n_prims):
     """Histogram of weights into prim bins.
 
     XLA's scatter-add is slow on TPU (~10 ms for 800k entries); for small bin
     counts a one-hot contraction on the MXU is 3x faster (the reduction stays
-    deterministic). Larger geometries keep the scatter.
+    deterministic). For larger geometries the entries are split into
+    _SCATTER_SPLIT independent batched scatters (fewer per-bin conflicts to
+    serialize) reduced with a tree sum — still deterministic.
     """
     if n_prims <= 2048:
         one_hot = jax.nn.one_hot(ids, n_prims, dtype=weights.dtype)
         return weights @ one_hot
+    t = _SCATTER_SPLIT
+    m = ids.shape[0]
+    if t > 1 and m % t == 0:
+        ids_t = ids.reshape(t, m // t)
+        w_t = weights.reshape(t, m // t)
+        parts = jax.vmap(
+            lambda i, w: jnp.zeros((n_prims,), weights.dtype).at[i].add(w)
+        )(ids_t, w_t)
+        return jnp.sum(parts, axis=0)
     return jnp.zeros((n_prims,), weights.dtype).at[ids].add(weights)
 
 
