@@ -68,7 +68,7 @@ class BatchCounters(NamedTuple):
 
 import os as _os
 
-_SCATTER_SPLIT = int(_os.environ.get("VIENNARAY_TPU_SCATTER_SPLIT", "8"))
+_SCATTER_SPLIT = int(_os.environ.get("VIENNARAY_TPU_SCATTER_SPLIT", "1"))
 
 
 def _flux_add(ids, weights, n_prims):
