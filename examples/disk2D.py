@@ -6,6 +6,11 @@ equivalent trench fixture; traces 2000 rays/point with a diffuse particle
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import os
 import time
 
 import viennaray_tpu as vrt

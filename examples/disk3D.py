@@ -1,5 +1,9 @@
 """3D trench flux example (port of examples/disk3D/disk3D.cpp)."""
 
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 import os
 import time
 

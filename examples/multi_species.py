@@ -3,6 +3,11 @@
 BASELINE config 5 (without the pod sharding, see examples/sharded_trace.py).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import viennaray_tpu as vrt

@@ -3,6 +3,11 @@ all available devices with psum'd flux. On a pod slice, call
 ``initialize_distributed()`` first and run one process per host.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -2,6 +2,11 @@
 2D lines are extruded to triangles internally (rayTraceTriangle.hpp:76-81)."""
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import os
 import time
 
 import viennaray_tpu as vrt

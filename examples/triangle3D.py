@@ -1,5 +1,9 @@
 """3D triangle-mesh flux example (port of examples/triangle3D/triangle3D.cpp)."""
 
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 import os
 import time
 

@@ -565,9 +565,11 @@ def trace_batch(
     # the front (stable argsort — deterministic), and continue at the
     # smaller width. Work becomes ~ total ray-bounces instead of
     # max_bounces x batch.
-    # 16x shrink per stage: two stages cover 256x divergence while keeping
-    # compile cost (one while_loop body per stage width) low.
-    min_stage = 2048
+    # 16x shrink per stage, floored at 512 (the Pallas ray-tile width): the
+    # long tail — e.g. near-horizontal rays ping-ponging between periodic
+    # walls until the max_boundary_hits cap (up to 1000 iterations) — then
+    # runs at minimal width instead of full batch cost.
+    min_stage = 512
     stage_caps = []
     cap = R
     while cap > min_stage:
