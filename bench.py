@@ -38,11 +38,10 @@ def main():
     tracer.set_number_of_rays_per_point(rays_per_point)
     tracer.set_rng_seed(42)
 
-    # warmup run (compile) with a tiny ray count
-    tracer.set_number_of_rays_fixed(tracer._ray_batch_size)
+    # warmup: identical static config (changing the ray-count MODE changes the
+    # jit key and would push compilation into the timed run)
     tracer.apply()
 
-    tracer.set_number_of_rays_per_point(rays_per_point)
     t0 = time.perf_counter()
     flux = tracer.apply()
     elapsed = time.perf_counter() - t0

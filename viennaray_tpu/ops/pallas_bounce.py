@@ -1,0 +1,383 @@
+"""Fused bounce megakernel (disk path).
+
+One Pallas kernel advances a ray tile through a full bounce iteration:
+nearest-disk hit, finite-wall boundary event, backface pass/kill, sticking +
+reflection sampling, Russian roulette, and the state update — everything the
+trace body does except the neighbor multi-hit and the flux scatter (which
+need cross-prim gathers/scatters and stay in XLA).
+
+Why: the XLA bounce body lowers to ~15-20 device kernels; inside the
+`lax.while_loop` each iteration pays their launch overhead (~4 ms measured at
+tiny widths), which dominates long boundary ping-pong tails (NOTES.md). The
+megakernel collapses the body to ~6 launches.
+
+Constraints of v1 (the trace body falls back otherwise):
+- disk geometry in VMEM (the standard prims SoA);
+- no gas scattering (mean_free_path <= 0), no custom fns, no material
+  sticking table, no distance weighting, non-differentiable path;
+- DIFFUSE or SPECULAR reflection (coned-cosine needs an accept-reject loop).
+
+Randomness comes in as precomputed uniforms (R, 3) so the sampling arithmetic
+mirrors physics/reflection.py exactly — the megakernel and the unfused path
+agree bitwise for sticking=1 configs (no trig) and to trig-ulp otherwise.
+
+Hit-prim normals are recovered without per-lane gathers by a masked average
+over the argmin lanes: coplanar ties share a plane (equal normals), so the
+average is exact there; distinct-plane exact-t ties are measure-zero in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import BoundaryCondition, ReflectionKind
+
+BIG = 3.4e38
+
+# event codes in the kernel's ev output
+EV_NONE = 0  # dead lane / no event
+EV_COLLIDE = 1
+EV_WALL = 2
+EV_EXIT = 3
+EV_BFPASS = 4
+EV_KILL = 5  # backface second hit / absorbed / roulette / caps
+
+
+def _bounce_kernel(
+    org_ref, dir_ref, w_ref, w0_ref, flags_ref, uni_ref, prims_ref, bb_ref,
+    walls_ref, stick_ref,
+    org_out, dir_out, w_out, flags_out, hit_out,
+    *, pt, t_near, dim, first_dir, second_dir, ray_axis, bc1, bc2,
+    refl_kind, use_skip, max_bounces_cfg, max_bdry, wthresh, wrenew, roulette,
+):
+    o = org_ref[:]  # (RT, 3)
+    d = dir_ref[:]
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    rt = o.shape[0]
+    npad = prims_ref.shape[1]
+
+    weight = w_ref[:, 0:1]
+    w0 = w0_ref[:, 0:1]
+    # flags: [alive, hfb, n_refl, n_bdry] as f32 columns
+    alive = flags_ref[:, 0:1] > 0.5
+    hfb = flags_ref[:, 1:2] > 0.5
+    n_refl = flags_ref[:, 2:3]
+    n_bdry = flags_ref[:, 3:4]
+
+    inv_x = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+    inv_y = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+    inv_z = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+
+    # ---- nearest disk hit (identical arithmetic to pallas_intersect) ----
+    def body(i, carry):
+        tmin, idx, nbx, nby, nbz = carry
+
+        t0x = (bb_ref[i, 0] - ox) * inv_x
+        t1x = (bb_ref[i, 3] - ox) * inv_x
+        t0y = (bb_ref[i, 1] - oy) * inv_y
+        t1y = (bb_ref[i, 4] - oy) * inv_y
+        t0z = (bb_ref[i, 2] - oz) * inv_z
+        t1z = (bb_ref[i, 5] - oz) * inv_z
+        tlo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        thi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        need = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < tmin))
+
+        def full(carry):
+            tmin, idx, nbx, nby, nbz = carry
+            sl = pl.ds(i * pt, pt)
+            cx = prims_ref[0, sl][None, :]
+            cy = prims_ref[1, sl][None, :]
+            cz = prims_ref[2, sl][None, :]
+            nx = prims_ref[3, sl][None, :]
+            ny = prims_ref[4, sl][None, :]
+            nz = prims_ref[5, sl][None, :]
+            r2 = prims_ref[6, sl][None, :]
+            ndc = prims_ref[7, sl][None, :]
+
+            denom = dx * nx + dy * ny + dz * nz
+            ndo = ox * nx + oy * ny + oz * nz
+            dsafe = jnp.where(denom == 0.0, 1e-30, denom)
+            r0 = pl.reciprocal(dsafe, approx=True)
+            r0 = r0 * (2.0 - dsafe * r0)
+            t = (ndc - ndo) * r0
+            hx = ox + t * dx - cx
+            hy = oy + t * dy - cy
+            hz = oz + t * dz - cz
+            dist2 = hx * hx + hy * hy + hz * hz
+            valid = (denom != 0.0) & (t > t_near) & (dist2 < r2)
+            tt = jnp.where(valid, t, BIG)
+
+            cmin = jnp.min(tt, axis=1, keepdims=True)
+            carg = jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None] + i * pt
+            take = cmin < tmin
+            # hit normal via masked average over argmin-equal lanes (coplanar
+            # ties share the normal; see module docstring)
+            eq = (tt == cmin) & valid
+            cnt = jnp.maximum(
+                jnp.sum(eq.astype(jnp.float32), axis=1, keepdims=True), 1.0
+            )
+            anx = jnp.sum(jnp.where(eq, nx, 0.0), axis=1, keepdims=True) / cnt
+            any_ = jnp.sum(jnp.where(eq, ny, 0.0), axis=1, keepdims=True) / cnt
+            anz = jnp.sum(jnp.where(eq, nz, 0.0), axis=1, keepdims=True) / cnt
+            return (
+                jnp.where(take, cmin, tmin),
+                jnp.where(take, carg, idx),
+                jnp.where(take, anx, nbx),
+                jnp.where(take, any_, nby),
+                jnp.where(take, anz, nbz),
+            )
+
+        if use_skip:
+            return jax.lax.cond(need, full, lambda c: c, carry)
+        return full(carry)
+
+    init = (
+        jnp.full((rt, 1), BIG, jnp.float32),
+        jnp.zeros((rt, 1), jnp.int32),
+        jnp.zeros((rt, 1), jnp.float32),
+        jnp.zeros((rt, 1), jnp.float32),
+        jnp.zeros((rt, 1), jnp.float32),
+    )
+    t_geo, prim, nhx, nhy, nhz = jax.lax.fori_loop(0, npad // pt, body, init)
+    hit_geo = t_geo < BIG
+
+    # ---- wall crossings (finite rectangles) -----------------------------
+    cols = [ox, oy, oz]
+    dcols = [dx, dy, dz]
+    invs = [inv_x, inv_y, inv_z]
+    lo1 = walls_ref[0, 0]
+    hi1 = walls_ref[0, 1]
+    lo2 = walls_ref[0, 2]
+    hi2 = walls_ref[0, 3]
+    lor = walls_ref[0, 4]
+    hir = walls_ref[0, 5]
+
+    def wall_t(axis, lo, hi, other_axis, other_lo, other_hi):
+        dax = dcols[axis]
+        oax = cols[axis]
+        t = jnp.where(
+            dax > 0.0,
+            (hi - oax) * invs[axis],
+            jnp.where(dax < 0.0, (lo - oax) * invs[axis], BIG),
+        )
+        t = jnp.where(t > t_near, t, BIG)
+        hp_r = cols[ray_axis] + dcols[ray_axis] * t
+        ok = (hp_r >= lor) & (hp_r <= hir)
+        if dim == 3:
+            hp_o = cols[other_axis] + dcols[other_axis] * t
+            ok &= (hp_o >= other_lo) & (hp_o <= other_hi)
+        return jnp.where(ok, t, BIG)
+
+    t_w1 = wall_t(first_dir, lo1, hi1, second_dir, lo2, hi2)
+    if dim == 3:
+        t_w2 = wall_t(second_dir, lo2, hi2, first_dir, lo1, hi1)
+    else:
+        t_w2 = jnp.full((rt, 1), BIG, jnp.float32)
+
+    t_geo_m = jnp.where(hit_geo, t_geo, BIG)
+    t_ev = jnp.minimum(jnp.minimum(t_geo_m, t_w1), t_w2)
+    is_geo = t_geo_m <= t_ev
+    is_w1 = (~is_geo) & (t_w1 <= t_ev)
+    is_w2 = (~is_geo) & (~is_w1) & (t_w2 <= t_ev)
+    is_exit = t_ev >= BIG
+
+    is_exit = alive & is_exit
+    is_w1 = alive & is_w1 & (~is_exit)
+    is_w2 = alive & is_w2 & (~is_exit)
+    is_wall = is_w1 | is_w2
+    is_geo_ev = alive & is_geo & (~is_exit)
+
+    hpx = ox + dx * t_ev
+    hpy = oy + dy * t_ev
+    hpz = oz + dz * t_ev
+
+    # ---- boundary processing -------------------------------------------
+    n_bdry_new = n_bdry + jnp.where(is_wall, 1.0, 0.0)
+    bdry_over = is_wall & (n_bdry_new > max_bdry)
+    live_w1 = is_w1 & (~bdry_over)
+    live_w2 = is_w2 & (~bdry_over)
+
+    new_cols = [hpx, hpy, hpz]
+    new_d = [dx, dy, dz]
+    dead = jnp.zeros((rt, 1), bool)
+
+    def apply_wall(mask, axis, lo, hi, bc, new_cols, new_d, dead):
+        if bc == BoundaryCondition.REFLECTIVE:
+            new_d = list(new_d)
+            new_d[axis] = jnp.where(mask, -new_d[axis], new_d[axis])
+        elif bc == BoundaryCondition.PERIODIC:
+            new_cols = list(new_cols)
+            tele = jnp.where(dcols[axis] > 0.0, lo, hi)
+            new_cols[axis] = jnp.where(mask, tele, new_cols[axis])
+        else:
+            dead = dead | mask
+        return new_cols, new_d, dead
+
+    new_cols, new_d, dead = apply_wall(
+        live_w1, first_dir, lo1, hi1, bc1, new_cols, new_d, dead
+    )
+    if dim == 3:
+        new_cols, new_d, dead = apply_wall(
+            live_w2, second_dir, lo2, hi2, bc2, new_cols, new_d, dead
+        )
+
+    # ---- surface interaction -------------------------------------------
+    backface = (dx * nhx + dy * nhy + dz * nhz) > 0.0
+    bf_kill = is_geo_ev & backface & hfb
+    bf_pass = is_geo_ev & backface & (~hfb)
+    collide = is_geo_ev & (~backface)
+
+    # reflection direction (uniforms mirror physics/reflection.py)
+    u1 = uni_ref[:, 0:1]
+    u2 = uni_ref[:, 1:2]
+    if refl_kind == ReflectionKind.DIFFUSE:
+        z = 1.0 - 2.0 * u1
+        phi = 6.2831853071795864769 * u2
+        r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        sx = r * jnp.cos(phi) + nhx
+        sy = r * jnp.sin(phi) + nhy
+        sz = (z + nhz) if dim == 3 else jnp.zeros((rt, 1), jnp.float32)
+        norm = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+        inv_n = 1.0 / jnp.maximum(norm, 1e-12)
+        rdx, rdy, rdz = sx * inv_n, sy * inv_n, sz * inv_n
+    else:  # SPECULAR: d' = 2 (n . -d) n - (-d)
+        dp = -(dx * nhx + dy * nhy + dz * nhz)
+        rdx = 2.0 * dp * nhx + dx
+        rdy = 2.0 * dp * nhy + dy
+        rdz = 2.0 * dp * nhz + dz
+        if dim == 2:
+            rdz = jnp.zeros((rt, 1), jnp.float32)
+            nrm2 = jnp.sqrt(rdx * rdx + rdy * rdy)
+            inv_n = 1.0 / jnp.maximum(nrm2, 1e-12)
+            rdx, rdy = rdx * inv_n, rdy * inv_n
+
+    sticking = stick_ref[0, 0]
+    new_weight = weight - weight * sticking
+    died_absorb = collide & (new_weight <= 0.0)
+    n_refl_new = n_refl + jnp.where(collide, 1.0, 0.0)
+    died_max_refl = collide & (n_refl_new > max_bounces_cfg)
+
+    if roulette:
+        low = wthresh * w0
+        renew = wrenew * w0
+        needs = collide & (new_weight < low)
+        u3 = uni_ref[:, 2:3]
+        kill_p = 1.0 - new_weight / jnp.maximum(renew, 1e-30)
+        died_roul = needs & (u3 < kill_p)
+        renewed = needs & (~died_roul)
+        new_weight = jnp.where(renewed, renew, new_weight)
+    else:
+        died_roul = jnp.zeros((rt, 1), bool)
+
+    survived = collide & (~died_absorb) & (~died_max_refl) & (~died_roul)
+
+    # ---- state update ---------------------------------------------------
+    geo_move = bf_pass | survived
+    fx = jnp.where(geo_move, hpx, new_cols[0])
+    fy = jnp.where(geo_move, hpy, new_cols[1])
+    fz = jnp.where(geo_move, hpz, new_cols[2])
+    gdx = jnp.where(survived, rdx, new_d[0])
+    gdy = jnp.where(survived, rdy, new_d[1])
+    gdz = jnp.where(survived, rdz, new_d[2])
+
+    weight_out = jnp.where(collide, new_weight, weight)
+    hfb_out = hfb | bf_pass
+    dead = (
+        dead | is_exit | bdry_over | bf_kill | died_absorb | died_max_refl
+        | died_roul
+    )
+    alive_out = alive & (~dead)
+
+    org_out[:, 0:1] = fx
+    org_out[:, 1:2] = fy
+    org_out[:, 2:3] = fz
+    dir_out[:, 0:1] = gdx
+    dir_out[:, 1:2] = gdy
+    dir_out[:, 2:3] = gdz
+    w_out[:, 0:1] = weight_out
+    flags_out[:, 0:1] = jnp.where(alive_out, 1.0, 0.0)
+    flags_out[:, 1:2] = jnp.where(hfb_out, 1.0, 0.0)
+    flags_out[:, 2:3] = n_refl_new
+    flags_out[:, 3:4] = n_bdry_new
+    # hit record for the XLA-side neighbor/flux stage + counters
+    hit_out[:, 0:1] = prim.astype(jnp.float32)
+    hit_out[:, 1:2] = jnp.where(collide, weight, 0.0)
+    hit_out[:, 2:3] = jnp.where(collide, 1.0, 0.0)
+    hit_out[:, 3:4] = jnp.where(is_wall, 1.0, 0.0)
+    hit_out[:, 4:5] = jnp.where(is_exit, 1.0, 0.0)
+    hit_out[:, 5:6] = jnp.where(alive, 1.0, 0.0)
+    hit_out[:, 6:7] = dcols[0] * 0.0  # reserved
+    hit_out[:, 7:8] = dcols[0] * 0.0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "t_near", "rt", "pt", "dim", "first_dir", "second_dir", "ray_axis",
+        "bc1", "bc2", "refl_kind", "max_bounces_cfg", "max_bdry", "wthresh",
+        "wrenew", "roulette", "interpret",
+    ),
+)
+def fused_bounce(
+    org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs, walls, sticking,
+    t_near=1e-4, rt=256, pt=512, dim=3, first_dir=0, second_dir=1,
+    ray_axis=2, bc1=BoundaryCondition.REFLECTIVE,
+    bc2=BoundaryCondition.REFLECTIVE,
+    refl_kind=ReflectionKind.DIFFUSE, max_bounces_cfg=2**30, max_bdry=1000,
+    wthresh=0.1, wrenew=0.3, roulette=True, interpret=False,
+):
+    """Run one fused bounce for all rays.
+
+    org/dirn (R,3); weight/w0 (R,1); flags (R,4) [alive,hfb,n_refl,n_bdry];
+    uniforms (R,3); prims (8,Npad); chunk_bbs (C,8); walls (1,8)
+    [lo1 hi1 lo2 hi2 lo_r hi_r 0 0]; sticking (1,1).
+    Returns (org', dirn', weight', flags', hit (R,8)).
+    """
+    R = org.shape[0]
+    grid = (R // rt,)
+    kernel = functools.partial(
+        _bounce_kernel, pt=pt, t_near=float(t_near), dim=dim,
+        first_dir=first_dir, second_dir=second_dir, ray_axis=ray_axis,
+        bc1=BoundaryCondition(bc1), bc2=BoundaryCondition(bc2),
+        refl_kind=ReflectionKind(refl_kind),
+        use_skip=prims.shape[1] // pt >= 24,
+        max_bounces_cfg=float(max_bounces_cfg), max_bdry=float(max_bdry),
+        wthresh=float(wthresh), wrenew=float(wrenew), roulette=bool(roulette),
+    )
+    vspec = lambda c: pl.BlockSpec(
+        (rt, c), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            vspec(3), vspec(3), vspec(1), vspec(1), vspec(4), vspec(3),
+            whole(prims), whole(chunk_bbs), whole(walls), whole(sticking),
+        ],
+        out_specs=[vspec(3), vspec(3), vspec(1), vspec(4), vspec(8)],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 3), jnp.float32),
+            jax.ShapeDtypeStruct((R, 3), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 4), jnp.float32),
+            jax.ShapeDtypeStruct((R, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs, walls,
+      sticking)
+    return out

@@ -39,8 +39,13 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import BoundaryCondition, TraceConfig, get_trace_settings
-from ..ops import grid_traverse, intersect, pallas_intersect
+from ..config import (
+    BoundaryCondition,
+    ReflectionKind,
+    TraceConfig,
+    get_trace_settings,
+)
+from ..ops import grid_traverse, intersect, pallas_bounce, pallas_intersect
 from ..ops.intersect import BIG
 
 # event codes
@@ -539,6 +544,112 @@ def trace_batch(
             flux,
             cnt,
         )
+
+    # ---- fused megakernel eligibility (see ops/pallas_bounce.py) --------
+    use_fused = (
+        geo_type == "disk"
+        and not differentiable
+        and collision_fn is None
+        and reflection_fn is None
+        and aux_init_fn is None
+        and particle.material_sticking is None
+        and particle.mean_free_path <= 0.0
+        and not config.use_wdist
+        and ReflectionKind(particle.reflection_kind)
+        in (ReflectionKind.DIFFUSE, ReflectionKind.SPECULAR)
+        and getattr(geometry, "prims_soa", None) is not None
+        and geometry.prims_soa.shape[1] <= 262144
+        and (
+            jax.default_backend() == "tpu"
+            or _os.environ.get("VIENNARAY_TPU_FUSED_INTERPRET") == "1"
+        )
+    )
+    if use_fused:
+        walls = jnp.stack(
+            [lo1, hi1, lo2, hi2, lo_r, hi_r,
+             jnp.zeros((), dtype), jnp.zeros((), dtype)]
+        ).reshape(1, 8).astype(jnp.float32)
+        stick_arr = jnp.reshape(particle.sticking, (1, 1)).astype(jnp.float32)
+        interp = jax.default_backend() != "tpu"
+
+        def body_fused(state):
+            (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux,
+             flux, cnt) = state
+            Rb = org.shape[0]
+            key_b = jax.random.fold_in(batch_key, it + 1)
+            k_scat, k_scat_dir, k_refl, k_roul = jax.random.split(key_b, 4)
+            k1, k2 = jax.random.split(k_refl)
+            uniforms = jnp.stack(
+                [
+                    jax.random.uniform(k1, (Rb,), dtype=jnp.float32),
+                    jax.random.uniform(k2, (Rb,), dtype=jnp.float32),
+                    jax.random.uniform(k_roul, (Rb,), dtype=jnp.float32),
+                ],
+                axis=1,
+            )
+            flags = jnp.stack(
+                [
+                    alive.astype(jnp.float32),
+                    hfb.astype(jnp.float32),
+                    n_refl.astype(jnp.float32),
+                    n_bdry.astype(jnp.float32),
+                ],
+                axis=1,
+            )
+            org2, dir2, w2, flags2, hit = pallas_bounce.fused_bounce(
+                org, dirn, weight[:, None], w0[:, None], flags, uniforms,
+                geometry.prims_soa, geometry.soa_chunk_bbs, walls, stick_arr,
+                t_near=config.t_near, dim=dim, first_dir=first_dir,
+                second_dir=second_dir, ray_axis=ray_axis,
+                bc1=bc1, bc2=bc2,
+                refl_kind=ReflectionKind(particle.reflection_kind),
+                max_bounces_cfg=min(config.max_reflections, 2**30),
+                max_bdry=config.max_boundary_hits,
+                wthresh=config.weight_threshold_frac,
+                wrenew=config.renew_weight_frac,
+                roulette=config.roulette,
+                interpret=interp,
+            )
+            prim_c = geometry.soa_perm[hit[:, 0].astype(jnp.int32)]
+            collide = hit[:, 2] > 0.5
+            w_dep = hit[:, 1]
+
+            # neighbor multi-hit + flux (pre-bounce org/dirn define the ray)
+            nb_ids = geometry.neighbors[prim_c]
+            K = nb_ids.shape[1]
+            nb_c = jnp.clip(nb_ids, 0, n_prims - 1)
+            rec = geometry.neighbor_pack[prim_c].reshape(Rb, K, 8)
+            nb_ok, _ = intersect.check_neighbors_packed(org, dirn, rec)
+            nb_ok = nb_ok & collide[:, None]
+            w_all = jnp.where(
+                jnp.concatenate([collide[:, None], nb_ok], axis=1),
+                w_dep[:, None],
+                0.0,
+            )
+            ids_all = jnp.concatenate([prim_c[:, None], nb_c], axis=1)
+            flux = flux + _flux_add(
+                ids_all.reshape(-1), w_all.reshape(-1), n_prims
+            )
+
+            sums = jnp.sum(hit[:, 2:6], axis=0)  # collide, wall, exit, alive
+            cnt = BatchCounters(
+                total_traces=cnt.total_traces + sums[3].astype(jnp.int32),
+                non_geometry_hits=cnt.non_geometry_hits
+                + sums[2].astype(jnp.int32),
+                geometry_hits=cnt.geometry_hits + sums[0].astype(jnp.int32),
+                particle_hits=cnt.particle_hits,
+                boundary_hits=cnt.boundary_hits + sums[1].astype(jnp.int32),
+                reflections=cnt.reflections + sums[0].astype(jnp.int32),
+            )
+            return (
+                it + 1, org2, dir2, w2[:, 0], w0,
+                flags2[:, 0] > 0.5, flags2[:, 1] > 0.5,
+                flags2[:, 2].astype(jnp.int32),
+                flags2[:, 3].astype(jnp.int32),
+                aux, flux, cnt,
+            )
+
+        body = body_fused
 
     state = (
         jnp.int32(0), org, dirn, weight, w0, alive, hit_from_back,
