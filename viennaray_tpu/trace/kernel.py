@@ -80,23 +80,25 @@ def _flux_add(ids, weights, n_prims):
     """Histogram of weights into prim bins.
 
     XLA's scatter-add is slow on TPU (~10 ms for 800k entries); for small bin
-    counts a one-hot contraction on the MXU is 3x faster (the reduction stays
+    counts (<=8192) a one-hot contraction on the MXU is 3x faster (XLA streams
+    the one-hot through the matmul; the reduction stays
     deterministic). For larger geometries the entries are split into
     _SCATTER_SPLIT independent batched scatters (fewer per-bin conflicts to
     serialize) reduced with a tree sum — still deterministic.
     """
-    if n_prims <= 2048:
+    if n_prims <= 8192:
         one_hot = jax.nn.one_hot(ids, n_prims, dtype=weights.dtype)
         return weights @ one_hot
-    t = _SCATTER_SPLIT
-    m = ids.shape[0]
-    if t > 1 and m % t == 0:
-        ids_t = ids.reshape(t, m // t)
-        w_t = weights.reshape(t, m // t)
-        parts = jax.vmap(
-            lambda i, w: jnp.zeros((n_prims,), weights.dtype).at[i].add(w)
-        )(ids_t, w_t)
-        return jnp.sum(parts, axis=0)
+    if n_prims <= 40960:
+        # column-chunked one-hot: out-of-range indices one-hot to zero rows,
+        # so each 8192-wide chunk picks up exactly its bins
+        parts = []
+        for off in range(0, n_prims, 8192):
+            width = min(8192, n_prims - off)
+            parts.append(
+                weights @ jax.nn.one_hot(ids - off, width, dtype=weights.dtype)
+            )
+        return jnp.concatenate(parts)
     return jnp.zeros((n_prims,), weights.dtype).at[ids].add(weights)
 
 
