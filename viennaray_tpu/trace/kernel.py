@@ -89,16 +89,8 @@ def _flux_add(ids, weights, n_prims):
     if n_prims <= 8192:
         one_hot = jax.nn.one_hot(ids, n_prims, dtype=weights.dtype)
         return weights @ one_hot
-    if n_prims <= 40960:
-        # column-chunked one-hot: out-of-range indices one-hot to zero rows,
-        # so each 8192-wide chunk picks up exactly its bins
-        parts = []
-        for off in range(0, n_prims, 8192):
-            width = min(8192, n_prims - off)
-            parts.append(
-                weights @ jax.nn.one_hot(ids - off, width, dtype=weights.dtype)
-            )
-        return jnp.concatenate(parts)
+    # (column-chunked one-hot measured SLOWER than scatter at N=18k: the
+    # chunk matmuls stop being bandwidth-free above the single-tile size)
     return jnp.zeros((n_prims,), weights.dtype).at[ids].add(weights)
 
 
