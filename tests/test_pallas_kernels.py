@@ -73,3 +73,91 @@ def test_pallas_triangle_kernel_interpret_matches_xla():
         np.asarray(tp)[m], np.asarray(tb)[m], rtol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(ip)[m], np.asarray(ib)[m])
+
+
+def test_flux_histogram_matches_numpy():
+    """Pallas VMEM-one-hot histogram == np.add.at (interpret mode)."""
+    import numpy as np
+
+    from viennaray_tpu.ops.pallas_histogram import flux_histogram
+
+    rng = np.random.default_rng(11)
+    for E, n in [(1000, 300), (4096, 9000), (777, 2993)]:
+        ids = rng.integers(0, n, E).astype(np.int32)
+        w = rng.random(E).astype(np.float32)
+        ref = np.zeros(n, np.float32)
+        np.add.at(ref, ids, w)
+        got = np.asarray(
+            flux_histogram(jnp.asarray(ids), jnp.asarray(w), n, interpret=True)
+        )
+        rel = np.abs(got - ref).max() / ref.max()
+        assert rel < 1e-5, (E, n, rel)
+
+
+def test_fused_bounce_multi_matches_sequential():
+    """n_sub=2 megakernel == two n_sub=1 calls when fed the same uniforms.
+
+    The in-kernel bounce arithmetic is identical; only the batching of the
+    hit records differs, so final ray state must agree bitwise."""
+    import numpy as np
+
+    from viennaray_tpu.config import BoundaryCondition, ReflectionKind
+    from viennaray_tpu.geometry.disk_geometry import DiskGeometry
+    from viennaray_tpu.io import fixtures
+    from viennaray_tpu.ops import pallas_bounce
+
+    pts, nrm = fixtures.create_trench_grid_3d(
+        grid_delta=0.5, extent=3.0, trench_width=2.0, trench_depth=2.0
+    )
+    geo = DiskGeometry.build(pts, nrm, grid_delta=0.5)
+    R = 256
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    org = jnp.stack(
+        [
+            jax.random.uniform(k1, (R,), minval=-2.0, maxval=2.0),
+            jax.random.uniform(k2, (R,), minval=-2.0, maxval=2.0),
+            jnp.full((R,), 3.5),
+        ],
+        axis=1,
+    )
+    dirn = jnp.tile(jnp.asarray([[0.1, 0.0, -0.99]]), (R, 1))
+    dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
+    w = jnp.ones((R, 1), jnp.float32)
+    flags = jnp.concatenate(
+        [jnp.ones((R, 1)), jnp.zeros((R, 3))], axis=1
+    ).astype(jnp.float32)
+    uni = jax.random.uniform(k3, (R, 6), dtype=jnp.float32)
+    walls = jnp.asarray(
+        [[-3.25, 3.25, -3.25, 3.25, -2.0, 3.6, 0.0, 0.0]], jnp.float32
+    )
+    stick = jnp.asarray([[0.3]], jnp.float32)
+    kw = dict(
+        t_near=1e-4, dim=3, first_dir=0, second_dir=1, ray_axis=2,
+        bc1=BoundaryCondition.PERIODIC, bc2=BoundaryCondition.PERIODIC,
+        refl_kind=ReflectionKind.DIFFUSE, interpret=True,
+    )
+    o2, d2, w2, f2, rec2, st2 = pallas_bounce.fused_bounce(
+        org, dirn, w, w, flags, uni, geo.prims_soa, geo.soa_chunk_bbs,
+        walls, stick, n_sub=2, **kw
+    )
+    oa, da, wa, fa, reca, sta = pallas_bounce.fused_bounce(
+        org, dirn, w, w, flags, uni[:, 0:3], geo.prims_soa,
+        geo.soa_chunk_bbs, walls, stick, n_sub=1, **kw
+    )
+    ob, db, wb, fb, recb, stb = pallas_bounce.fused_bounce(
+        oa, da, wa, w, fa, uni[:, 3:6], geo.prims_soa, geo.soa_chunk_bbs,
+        walls, stick, n_sub=1, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(o2), np.asarray(ob))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(db))
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(wb))
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(fb))
+    np.testing.assert_array_equal(
+        np.asarray(rec2), np.concatenate([reca, recb], axis=1)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st2), np.asarray(sta) + np.asarray(stb)
+    )
+    # at least some rays actually collided in bounce 1 (test is non-vacuous)
+    assert float(np.asarray(sta)[:, 0].sum()) > 50

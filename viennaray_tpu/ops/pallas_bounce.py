@@ -1,29 +1,41 @@
-"""Fused bounce megakernel (disk path).
+"""Fused multi-bounce megakernel (disk path).
 
-One Pallas kernel advances a ray tile through a full bounce iteration:
-nearest-disk hit, finite-wall boundary event, backface pass/kill, sticking +
-reflection sampling, Russian roulette, and the state update — everything the
-trace body does except the neighbor multi-hit and the flux scatter (which
-need cross-prim gathers/scatters and stay in XLA).
+One Pallas kernel advances a ray tile through ``n_sub`` full bounce
+iterations: nearest-disk hit, finite-wall boundary event, backface
+pass/kill, sticking + reflection sampling, Russian roulette, and the state
+update — everything the trace body does except the neighbor multi-hit and
+the flux scatter (which need cross-prim gathers/scatters and stay in XLA,
+but are batched across all n_sub bounces into ONE gather + ONE scatter).
 
 Why: the XLA bounce body lowers to ~15-20 device kernels; inside the
 `lax.while_loop` each iteration pays their launch overhead (~4 ms measured at
 tiny widths), which dominates long boundary ping-pong tails (NOTES.md). The
-megakernel collapses the body to ~6 launches.
+megakernel collapses the body to ~6 launches, and n_sub > 1 amortizes even
+those across several bounces — the tail stage (512-wide) runs 16 bounces per
+launch round.
 
-Constraints of v1 (the trace body falls back otherwise):
+Constraints (the trace body falls back otherwise):
 - disk geometry in VMEM (the standard prims SoA);
 - no gas scattering (mean_free_path <= 0), no custom fns, no material
   sticking table, no distance weighting, non-differentiable path;
 - DIFFUSE or SPECULAR reflection (coned-cosine needs an accept-reject loop).
 
-Randomness comes in as precomputed uniforms (R, 3) so the sampling arithmetic
-mirrors physics/reflection.py exactly — the megakernel and the unfused path
-agree bitwise for sticking=1 configs (no trig) and to trig-ulp otherwise.
+Randomness comes in as precomputed uniforms (R, 3*n_sub) so the sampling
+arithmetic mirrors physics/reflection.py exactly — per sub-bounce k the
+three uniforms are drawn from fold_in(batch_key, it+1+k), the identical key
+schedule the unfused path uses, so n_sub only changes float summation order
+in the flux scatter (ulp-level), never the ray paths.
 
 Hit-prim normals are recovered without per-lane gathers by a masked average
 over the argmin lanes: coplanar ties share a plane (equal normals), so the
 average is exact there; distinct-plane exact-t ties are measure-zero in f32.
+
+Per-bounce hit record layout (8 f32): [prim_soa_idx, deposited_weight,
+org_x, org_y, org_z, dir_x, dir_y, dir_z] with org/dir the PRE-bounce ray
+(what the neighbor multi-hit re-test needs). deposited_weight > 0 <=>
+the bounce was a front-face collision (weights are strictly positive until
+death, so the flag is implied). Stats output (8 f32): per-lane sums over
+sub-bounces of [collide, wall, exit, traces(alive-at-start), 0, 0, 0, 0].
 """
 
 from __future__ import annotations
@@ -39,36 +51,16 @@ from ..config import BoundaryCondition, ReflectionKind
 
 BIG = 3.4e38
 
-# event codes in the kernel's ev output
-EV_NONE = 0  # dead lane / no event
-EV_COLLIDE = 1
-EV_WALL = 2
-EV_EXIT = 3
-EV_BFPASS = 4
-EV_KILL = 5  # backface second hit / absorbed / roulette / caps
 
-
-def _bounce_kernel(
-    org_ref, dir_ref, w_ref, w0_ref, flags_ref, uni_ref, prims_ref, bb_ref,
-    walls_ref, stick_ref,
-    org_out, dir_out, w_out, flags_out, hit_out,
+def _one_bounce(
+    state, u1, u2, u3, prims_ref, bb_ref, walls_ref, stick_ref,
     *, pt, t_near, dim, first_dir, second_dir, ray_axis, bc1, bc2,
     refl_kind, use_skip, max_bounces_cfg, max_bdry, wthresh, wrenew, roulette,
 ):
-    o = org_ref[:]  # (RT, 3)
-    d = dir_ref[:]
-    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
-    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-    rt = o.shape[0]
+    """One full bounce on column-vector state; returns (state', record)."""
+    (ox, oy, oz, dx, dy, dz, weight, w0, alive, hfb, n_refl, n_bdry) = state
+    rt = ox.shape[0]
     npad = prims_ref.shape[1]
-
-    weight = w_ref[:, 0:1]
-    w0 = w0_ref[:, 0:1]
-    # flags: [alive, hfb, n_refl, n_bdry] as f32 columns
-    alive = flags_ref[:, 0:1] > 0.5
-    hfb = flags_ref[:, 1:2] > 0.5
-    n_refl = flags_ref[:, 2:3]
-    n_bdry = flags_ref[:, 3:4]
 
     inv_x = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
     inv_y = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
@@ -240,8 +232,6 @@ def _bounce_kernel(
     collide = is_geo_ev & (~backface)
 
     # reflection direction (uniforms mirror physics/reflection.py)
-    u1 = uni_ref[:, 0:1]
-    u2 = uni_ref[:, 1:2]
     if refl_kind == ReflectionKind.DIFFUSE:
         z = 1.0 - 2.0 * u1
         phi = 6.2831853071795864769 * u2
@@ -273,7 +263,6 @@ def _bounce_kernel(
         low = wthresh * w0
         renew = wrenew * w0
         needs = collide & (new_weight < low)
-        u3 = uni_ref[:, 2:3]
         kill_p = 1.0 - new_weight / jnp.maximum(renew, 1e-30)
         died_roul = needs & (u3 < kill_p)
         renewed = needs & (~died_roul)
@@ -300,6 +289,57 @@ def _bounce_kernel(
     )
     alive_out = alive & (~dead)
 
+    record = (
+        prim.astype(jnp.float32),
+        jnp.where(collide, weight, 0.0),  # pre-sticking deposit (> 0)
+        ox, oy, oz, dx, dy, dz,
+    )
+    stats = (
+        jnp.where(collide, 1.0, 0.0),
+        jnp.where(is_wall, 1.0, 0.0),
+        jnp.where(is_exit, 1.0, 0.0),
+        jnp.where(alive, 1.0, 0.0),
+    )
+    new_state = (
+        fx, fy, fz, gdx, gdy, gdz, weight_out, w0, alive_out, hfb_out,
+        n_refl_new, n_bdry_new,
+    )
+    return new_state, record, stats
+
+
+def _bounce_kernel(
+    org_ref, dir_ref, w_ref, w0_ref, flags_ref, uni_ref, prims_ref, bb_ref,
+    walls_ref, stick_ref,
+    org_out, dir_out, w_out, flags_out, rec_out, stats_out,
+    *, n_sub, **kw,
+):
+    o = org_ref[:]  # (RT, 3)
+    d = dir_ref[:]
+    rt = o.shape[0]
+
+    state = (
+        o[:, 0:1], o[:, 1:2], o[:, 2:3],
+        d[:, 0:1], d[:, 1:2], d[:, 2:3],
+        w_ref[:, 0:1], w0_ref[:, 0:1],
+        flags_ref[:, 0:1] > 0.5,  # alive
+        flags_ref[:, 1:2] > 0.5,  # hfb
+        flags_ref[:, 2:3],  # n_refl
+        flags_ref[:, 3:4],  # n_bdry
+    )
+    st = [jnp.zeros((rt, 1), jnp.float32) for _ in range(4)]
+    for k in range(n_sub):
+        u1 = uni_ref[:, 3 * k : 3 * k + 1]
+        u2 = uni_ref[:, 3 * k + 1 : 3 * k + 2]
+        u3 = uni_ref[:, 3 * k + 2 : 3 * k + 3]
+        state, rec, stats = _one_bounce(
+            state, u1, u2, u3, prims_ref, bb_ref, walls_ref, stick_ref, **kw
+        )
+        for j in range(8):
+            rec_out[:, 8 * k + j : 8 * k + j + 1] = rec[j]
+        st = [a + b for a, b in zip(st, stats)]
+
+    (fx, fy, fz, gdx, gdy, gdz, weight_out, _, alive_out, hfb_out,
+     n_refl_new, n_bdry_new) = state
     org_out[:, 0:1] = fx
     org_out[:, 1:2] = fy
     org_out[:, 2:3] = fz
@@ -311,15 +351,10 @@ def _bounce_kernel(
     flags_out[:, 1:2] = jnp.where(hfb_out, 1.0, 0.0)
     flags_out[:, 2:3] = n_refl_new
     flags_out[:, 3:4] = n_bdry_new
-    # hit record for the XLA-side neighbor/flux stage + counters
-    hit_out[:, 0:1] = prim.astype(jnp.float32)
-    hit_out[:, 1:2] = jnp.where(collide, weight, 0.0)
-    hit_out[:, 2:3] = jnp.where(collide, 1.0, 0.0)
-    hit_out[:, 3:4] = jnp.where(is_wall, 1.0, 0.0)
-    hit_out[:, 4:5] = jnp.where(is_exit, 1.0, 0.0)
-    hit_out[:, 5:6] = jnp.where(alive, 1.0, 0.0)
-    hit_out[:, 6:7] = dcols[0] * 0.0  # reserved
-    hit_out[:, 7:8] = dcols[0] * 0.0
+    zero = st[0] * 0.0
+    for j in range(4):
+        stats_out[:, j : j + 1] = st[j]
+        stats_out[:, 4 + j : 5 + j] = zero
 
 
 @functools.partial(
@@ -327,7 +362,7 @@ def _bounce_kernel(
     static_argnames=(
         "t_near", "rt", "pt", "dim", "first_dir", "second_dir", "ray_axis",
         "bc1", "bc2", "refl_kind", "max_bounces_cfg", "max_bdry", "wthresh",
-        "wrenew", "roulette", "interpret",
+        "wrenew", "roulette", "interpret", "n_sub",
     ),
 )
 def fused_bounce(
@@ -336,19 +371,20 @@ def fused_bounce(
     ray_axis=2, bc1=BoundaryCondition.REFLECTIVE,
     bc2=BoundaryCondition.REFLECTIVE,
     refl_kind=ReflectionKind.DIFFUSE, max_bounces_cfg=2**30, max_bdry=1000,
-    wthresh=0.1, wrenew=0.3, roulette=True, interpret=False,
+    wthresh=0.1, wrenew=0.3, roulette=True, interpret=False, n_sub=1,
 ):
-    """Run one fused bounce for all rays.
+    """Run ``n_sub`` fused bounces for all rays.
 
     org/dirn (R,3); weight/w0 (R,1); flags (R,4) [alive,hfb,n_refl,n_bdry];
-    uniforms (R,3); prims (8,Npad); chunk_bbs (C,8); walls (1,8)
+    uniforms (R,3*n_sub); prims (8,Npad); chunk_bbs (C,8); walls (1,8)
     [lo1 hi1 lo2 hi2 lo_r hi_r 0 0]; sticking (1,1).
-    Returns (org', dirn', weight', flags', hit (R,8)).
+    Returns (org', dirn', weight', flags', rec (R,8*n_sub), stats (R,8)).
     """
     R = org.shape[0]
+    rt = min(rt, R)
     grid = (R // rt,)
     kernel = functools.partial(
-        _bounce_kernel, pt=pt, t_near=float(t_near), dim=dim,
+        _bounce_kernel, n_sub=n_sub, pt=pt, t_near=float(t_near), dim=dim,
         first_dir=first_dir, second_dir=second_dir, ray_axis=ray_axis,
         bc1=BoundaryCondition(bc1), bc2=BoundaryCondition(bc2),
         refl_kind=ReflectionKind(refl_kind),
@@ -366,15 +402,20 @@ def fused_bounce(
         kernel,
         grid=grid,
         in_specs=[
-            vspec(3), vspec(3), vspec(1), vspec(1), vspec(4), vspec(3),
+            vspec(3), vspec(3), vspec(1), vspec(1), vspec(4),
+            vspec(3 * n_sub),
             whole(prims), whole(chunk_bbs), whole(walls), whole(sticking),
         ],
-        out_specs=[vspec(3), vspec(3), vspec(1), vspec(4), vspec(8)],
+        out_specs=[
+            vspec(3), vspec(3), vspec(1), vspec(4), vspec(8 * n_sub),
+            vspec(8),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((R, 3), jnp.float32),
             jax.ShapeDtypeStruct((R, 3), jnp.float32),
             jax.ShapeDtypeStruct((R, 1), jnp.float32),
             jax.ShapeDtypeStruct((R, 4), jnp.float32),
+            jax.ShapeDtypeStruct((R, 8 * n_sub), jnp.float32),
             jax.ShapeDtypeStruct((R, 8), jnp.float32),
         ],
         interpret=interpret,

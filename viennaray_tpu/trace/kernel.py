@@ -79,16 +79,30 @@ _SCATTER_SPLIT = int(_os.environ.get("VIENNARAY_TPU_SCATTER_SPLIT", "1"))
 def _flux_add(ids, weights, n_prims):
     """Histogram of weights into prim bins.
 
-    XLA's scatter-add is slow on TPU (~10 ms for 800k entries); for small bin
-    counts (<=8192) a one-hot contraction on the MXU is 3x faster (XLA streams
-    the one-hot through the matmul; the reduction stays
-    deterministic). For larger geometries the entries are split into
-    _SCATTER_SPLIT independent batched scatters (fewer per-bin conflicts to
-    serialize) reduced with a tree sum — still deterministic.
+    Backend choice (measured on v5e, host-fetch-synced — block_until_ready
+    does NOT sync through the axon tunnel):
+    - n <= 8192: XLA one-hot contraction (XLA fuses the iota-compare into
+      the dot; 2.5 ms at E=786k/n=3k vs 3.4 ms Pallas, 5.6 ms scatter);
+    - 8192 < n <= 65536: Pallas VMEM-one-hot histogram kernel
+      (ops/pallas_histogram.py; 3.8 ms vs 5.6 ms scatter at n=18k,
+      6.4 vs 10.5 at E=1.5M);
+    - n > 65536: scatter-add (the factorized matmul's 2*E*n FLOPs
+      overtake scatter's bandwidth cost there).
+    All three are deterministic (fixed reduction order).
     """
     if n_prims <= 8192:
         one_hot = jax.nn.one_hot(ids, n_prims, dtype=weights.dtype)
         return weights @ one_hot
+    if n_prims <= 65536 and (
+        jax.default_backend() == "tpu"
+        or _os.environ.get("VIENNARAY_TPU_FUSED_INTERPRET") == "1"
+    ):
+        from ..ops.pallas_histogram import flux_histogram
+
+        return flux_histogram(
+            ids, weights, n_prims,
+            interpret=jax.default_backend() != "tpu",
+        )
     # (column-chunked one-hot measured SLOWER than scatter at N=18k: the
     # chunk matmuls stop being bandwidth-free above the single-tile size)
     return jnp.zeros((n_prims,), weights.dtype).at[ids].add(weights)
@@ -566,84 +580,113 @@ def trace_batch(
         stick_arr = jnp.reshape(particle.sticking, (1, 1)).astype(jnp.float32)
         interp = jax.default_backend() != "tpu"
 
-        def body_fused(state):
-            (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux,
-             flux, cnt) = state
-            Rb = org.shape[0]
-            key_b = jax.random.fold_in(batch_key, it + 1)
-            k_scat, k_scat_dir, k_refl, k_roul = jax.random.split(key_b, 4)
-            k1, k2 = jax.random.split(k_refl)
-            uniforms = jnp.stack(
-                [
-                    jax.random.uniform(k1, (Rb,), dtype=jnp.float32),
-                    jax.random.uniform(k2, (Rb,), dtype=jnp.float32),
-                    jax.random.uniform(k_roul, (Rb,), dtype=jnp.float32),
-                ],
-                axis=1,
-            )
-            flags = jnp.stack(
-                [
-                    alive.astype(jnp.float32),
-                    hfb.astype(jnp.float32),
-                    n_refl.astype(jnp.float32),
-                    n_bdry.astype(jnp.float32),
-                ],
-                axis=1,
-            )
-            org2, dir2, w2, flags2, hit = pallas_bounce.fused_bounce(
-                org, dirn, weight[:, None], w0[:, None], flags, uniforms,
-                geometry.prims_soa, geometry.soa_chunk_bbs, walls, stick_arr,
-                t_near=config.t_near, dim=dim, first_dir=first_dir,
-                second_dir=second_dir, ray_axis=ray_axis,
-                bc1=bc1, bc2=bc2,
-                refl_kind=ReflectionKind(particle.reflection_kind),
-                max_bounces_cfg=min(config.max_reflections, 2**30),
-                max_bdry=config.max_boundary_hits,
-                wthresh=config.weight_threshold_frac,
-                wrenew=config.renew_weight_frac,
-                roulette=config.roulette,
-                interpret=interp,
-            )
-            prim_c = geometry.soa_perm[hit[:, 0].astype(jnp.int32)]
-            collide = hit[:, 2] > 0.5
-            w_dep = hit[:, 1]
+        def make_fused_body(n_sub):
+            """Fused body running ``n_sub`` bounces per Pallas launch.
 
-            # neighbor multi-hit + flux (pre-bounce org/dirn define the ray)
-            nb_ids = geometry.neighbors[prim_c]
-            K = nb_ids.shape[1]
-            nb_c = jnp.clip(nb_ids, 0, n_prims - 1)
-            rec = geometry.neighbor_pack[prim_c].reshape(Rb, K, 8)
-            nb_ok, _ = intersect.check_neighbors_packed(org, dirn, rec)
-            nb_ok = nb_ok & collide[:, None]
-            w_all = jnp.where(
-                jnp.concatenate([collide[:, None], nb_ok], axis=1),
-                w_dep[:, None],
-                0.0,
-            )
-            ids_all = jnp.concatenate([prim_c[:, None], nb_c], axis=1)
-            flux = flux + _flux_add(
-                ids_all.reshape(-1), w_all.reshape(-1), n_prims
-            )
+            RNG: n_sub=1 reproduces the unfused key schedule exactly (the
+            fused path was validated bitwise against the unfused one under
+            that schedule). n_sub>1 draws all 3*n_sub uniforms from ONE key
+            fold_in(batch_key, it+1) — a single XLA op instead of ~3*n_sub,
+            still collision-free across iterations because ``it`` advances
+            by n_sub. Streams differ from n_sub=1 but are equally
+            deterministic per seed (the rngSeed contract)."""
 
-            sums = jnp.sum(hit[:, 2:6], axis=0)  # collide, wall, exit, alive
-            cnt = BatchCounters(
-                total_traces=cnt.total_traces + sums[3].astype(jnp.int32),
-                non_geometry_hits=cnt.non_geometry_hits
-                + sums[2].astype(jnp.int32),
-                geometry_hits=cnt.geometry_hits + sums[0].astype(jnp.int32),
-                particle_hits=cnt.particle_hits,
-                boundary_hits=cnt.boundary_hits + sums[1].astype(jnp.int32),
-                reflections=cnt.reflections + sums[0].astype(jnp.int32),
-            )
-            return (
-                it + 1, org2, dir2, w2[:, 0], w0,
-                flags2[:, 0] > 0.5, flags2[:, 1] > 0.5,
-                flags2[:, 2].astype(jnp.int32),
-                flags2[:, 3].astype(jnp.int32),
-                aux, flux, cnt,
-            )
+            def body_fused(state):
+                (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux,
+                 flux, cnt) = state
+                Rb = org.shape[0]
+                key_b = jax.random.fold_in(batch_key, it + 1)
+                if n_sub == 1:
+                    _, _, k_refl, k_roul = jax.random.split(key_b, 4)
+                    k1, k2 = jax.random.split(k_refl)
+                    uniforms = jnp.stack(
+                        [
+                            jax.random.uniform(k1, (Rb,), dtype=jnp.float32),
+                            jax.random.uniform(k2, (Rb,), dtype=jnp.float32),
+                            jax.random.uniform(
+                                k_roul, (Rb,), dtype=jnp.float32
+                            ),
+                        ],
+                        axis=1,
+                    )
+                else:
+                    uniforms = jax.random.uniform(
+                        key_b, (Rb, 3 * n_sub), dtype=jnp.float32
+                    )
+                flags = jnp.stack(
+                    [
+                        alive.astype(jnp.float32),
+                        hfb.astype(jnp.float32),
+                        n_refl.astype(jnp.float32),
+                        n_bdry.astype(jnp.float32),
+                    ],
+                    axis=1,
+                )
+                org2, dir2, w2, flags2, rec, stats = (
+                    pallas_bounce.fused_bounce(
+                        org, dirn, weight[:, None], w0[:, None], flags,
+                        uniforms, geometry.prims_soa, geometry.soa_chunk_bbs,
+                        walls, stick_arr,
+                        t_near=config.t_near, dim=dim, first_dir=first_dir,
+                        second_dir=second_dir, ray_axis=ray_axis,
+                        bc1=bc1, bc2=bc2,
+                        refl_kind=ReflectionKind(particle.reflection_kind),
+                        max_bounces_cfg=min(config.max_reflections, 2**30),
+                        max_bdry=config.max_boundary_hits,
+                        wthresh=config.weight_threshold_frac,
+                        wrenew=config.renew_weight_frac,
+                        roulette=config.roulette,
+                        interpret=interp,
+                        n_sub=n_sub,
+                    )
+                )
+                rec = rec.reshape(Rb, n_sub, 8)
+                prim_c = geometry.soa_perm[rec[:, :, 0].astype(jnp.int32)]
+                w_dep = rec[:, :, 1]
+                collide = (w_dep > 0.0).reshape(-1)  # deposit > 0 <=> collide
+                pf = prim_c.reshape(-1)
+                orgs = rec[:, :, 2:5].reshape(-1, 3)
+                dirs = rec[:, :, 5:8].reshape(-1, 3)
 
-        body = body_fused
+                # neighbor multi-hit + flux, batched over all n_sub bounces:
+                # ONE packed gather + ONE scatter instead of n_sub each
+                nb_ids = geometry.neighbors[pf]
+                K = nb_ids.shape[1]
+                nb_c = jnp.clip(nb_ids, 0, n_prims - 1)
+                recpk = geometry.neighbor_pack[pf].reshape(-1, K, 8)
+                nb_ok, _ = intersect.check_neighbors_packed(orgs, dirs, recpk)
+                nb_ok = nb_ok & collide[:, None]
+                w_all = jnp.where(
+                    jnp.concatenate([collide[:, None], nb_ok], axis=1),
+                    w_dep.reshape(-1)[:, None],
+                    0.0,
+                )
+                ids_all = jnp.concatenate([pf[:, None], nb_c], axis=1)
+                flux = flux + _flux_add(
+                    ids_all.reshape(-1), w_all.reshape(-1), n_prims
+                )
+
+                sums = jnp.sum(stats[:, 0:4], axis=0)  # collide,wall,exit,trc
+                cnt = BatchCounters(
+                    total_traces=cnt.total_traces + sums[3].astype(jnp.int32),
+                    non_geometry_hits=cnt.non_geometry_hits
+                    + sums[2].astype(jnp.int32),
+                    geometry_hits=cnt.geometry_hits
+                    + sums[0].astype(jnp.int32),
+                    particle_hits=cnt.particle_hits,
+                    boundary_hits=cnt.boundary_hits
+                    + sums[1].astype(jnp.int32),
+                    reflections=cnt.reflections + sums[0].astype(jnp.int32),
+                )
+                return (
+                    it + n_sub, org2, dir2, w2[:, 0], w0,
+                    flags2[:, 0] > 0.5, flags2[:, 1] > 0.5,
+                    flags2[:, 2].astype(jnp.int32),
+                    flags2[:, 3].astype(jnp.int32),
+                    aux, flux, cnt,
+                )
+
+            return body_fused
 
     state = (
         jnp.int32(0), org, dirn, weight, w0, alive, hit_from_back,
@@ -682,8 +725,21 @@ def trace_batch(
         stage_caps.append(max(cap, min_stage))
     stage_caps.append(0)  # final stage: run to extinction
 
+    def n_sub_for(width):
+        # Narrow stages are launch-overhead bound (~4 ms fixed per bounce
+        # iteration regardless of width, NOTES.md): run several bounces per
+        # Pallas launch there. Wide stages are compute bound — keep n_sub
+        # small so compaction thresholds are checked every bounce.
+        if width > 16384:
+            return 1
+        if width > 2048:
+            return 4
+        return 16
+
+    width = R
     for cap in stage_caps:
         cap_c = jnp.int32(cap)
+        stage_body = make_fused_body(n_sub_for(width)) if use_fused else body
 
         def stage_cond(s):
             it, _, _, _, _, alive_s, *_ = s
@@ -692,7 +748,8 @@ def trace_batch(
                 jnp.sum(alive_s.astype(jnp.int32)) > cap_c,
             )
 
-        state = jax.lax.while_loop(stage_cond, body, state)
+        state = jax.lax.while_loop(stage_cond, stage_body, state)
+        width = cap
         if cap == 0:
             break
         (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux, flux,
