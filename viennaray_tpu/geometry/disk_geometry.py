@@ -53,6 +53,9 @@ class DiskGeometry:
     prims_soa: Optional[jnp.ndarray] = None
     soa_perm: Optional[jnp.ndarray] = None
     soa_chunk_bbs: Optional[jnp.ndarray] = None
+    # inverse of soa_perm restricted to real prims: original id -> sorted
+    # position (< num_primitives); used to unpermute in-kernel flux
+    soa_inv_perm: Optional[jnp.ndarray] = None
     # per-prim neighbor records (N, K*8): [center(3) normal(3) radius valid]*K
     # -> ONE contiguous gather per hit instead of K small ones (measured 5x)
     neighbor_pack: Optional[jnp.ndarray] = None
@@ -129,6 +132,8 @@ class DiskGeometry:
             points, normals, radii_arr, sort_axis=sort_axis
         )
         prims_soa = jnp.asarray(soa)
+        inv_perm = np.zeros((n,), np.int32)
+        inv_perm[soa_perm[:n]] = np.arange(n, dtype=np.int32)
 
         k = nbrs.shape[1]
         cl = np.clip(nbrs, 0, None)
@@ -150,6 +155,7 @@ class DiskGeometry:
             prims_soa=prims_soa,
             soa_perm=jnp.asarray(soa_perm),
             soa_chunk_bbs=jnp.asarray(soa_bbs),
+            soa_inv_perm=jnp.asarray(inv_perm),
             neighbor_pack=jnp.asarray(pack.reshape(n, k * 8)),
             dim=dim,
             grid_delta=float(grid_delta),

@@ -1,18 +1,30 @@
-"""Fused multi-bounce megakernel (disk path).
+"""Fused multi-bounce megakernel with in-kernel flux deposits (disk path).
 
 One Pallas kernel advances a ray tile through ``n_sub`` full bounce
 iterations: nearest-disk hit, finite-wall boundary event, backface
-pass/kill, sticking + reflection sampling, Russian roulette, and the state
-update — everything the trace body does except the neighbor multi-hit and
-the flux scatter (which need cross-prim gathers/scatters and stay in XLA,
-but are batched across all n_sub bounces into ONE gather + ONE scatter).
+pass/kill, **flux deposits**, sticking + reflection sampling, Russian
+roulette, and the state update. Nothing per-bounce remains on the XLA side
+except the uniform draws and counter sums — the whole bounce costs ~2
+device launches regardless of geometry size (within the VMEM prim budget).
+
+Flux model: the OptiX pipeline's candidate-window semantics
+(GeneralPipelineDisk.cu:51-59,86-93): when the closest hit is a front-face
+collision, the pre-sticking ray weight is deposited onto EVERY disk the ray
+intersects with t < t_hit + tau, tau = 1.1*gridDelta (set at
+gpu/raygTrace.hpp:116) — the GPU twin of the CPU neighbor re-test
+(rayTraceKernel.hpp:255-300), without the MAX_NEIGHBORS=8 cap. Deposits are
+accumulated into a VMEM flux block (sorted prim order, one lane per prim)
+by a second chunk sweep that reuses the slab skip, so coherent ray tiles
+touch only the few chunks around their hits. The caller unpermutes once per
+bounce with ``soa_inv_perm``.
 
 Why: the XLA bounce body lowers to ~15-20 device kernels; inside the
-`lax.while_loop` each iteration pays their launch overhead (~4 ms measured at
-tiny widths), which dominates long boundary ping-pong tails (NOTES.md). The
-megakernel collapses the body to ~6 launches, and n_sub > 1 amortizes even
-those across several bounces — the tail stage (512-wide) runs 16 bounces per
-launch round.
+`lax.while_loop` each iteration pays their launch overhead (~4 ms measured
+at tiny widths), which dominates long boundary ping-pong tails (NOTES.md),
+plus ~2.6 ms neighbor gather + 2.5-10 ms one-hot/scatter flux per bounce at
+full width. The megakernel eliminates all of it; n_sub > 1 amortizes the
+remaining launches across several bounces (tail stage runs 16 bounces per
+round trip).
 
 Constraints (the trace body falls back otherwise):
 - disk geometry in VMEM (the standard prims SoA);
@@ -21,21 +33,14 @@ Constraints (the trace body falls back otherwise):
 - DIFFUSE or SPECULAR reflection (coned-cosine needs an accept-reject loop).
 
 Randomness comes in as precomputed uniforms (R, 3*n_sub) so the sampling
-arithmetic mirrors physics/reflection.py exactly — per sub-bounce k the
-three uniforms are drawn from fold_in(batch_key, it+1+k), the identical key
-schedule the unfused path uses, so n_sub only changes float summation order
-in the flux scatter (ulp-level), never the ray paths.
+arithmetic mirrors physics/reflection.py exactly.
 
 Hit-prim normals are recovered without per-lane gathers by a masked average
 over the argmin lanes: coplanar ties share a plane (equal normals), so the
 average is exact there; distinct-plane exact-t ties are measure-zero in f32.
 
-Per-bounce hit record layout (8 f32): [prim_soa_idx, deposited_weight,
-org_x, org_y, org_z, dir_x, dir_y, dir_z] with org/dir the PRE-bounce ray
-(what the neighbor multi-hit re-test needs). deposited_weight > 0 <=>
-the bounce was a front-face collision (weights are strictly positive until
-death, so the flag is implied). Stats output (8 f32): per-lane sums over
-sub-bounces of [collide, wall, exit, traces(alive-at-start), 0, 0, 0, 0].
+Stats output (8 f32): per-lane sums over sub-bounces of
+[collide, wall, exit, traces(alive-at-start), 0, 0, 0, 0].
 """
 
 from __future__ import annotations
@@ -53,11 +58,11 @@ BIG = 3.4e38
 
 
 def _one_bounce(
-    state, u1, u2, u3, prims_ref, bb_ref, walls_ref, stick_ref,
+    state, u1, u2, u3, prims_ref, bb_ref, walls_ref, stick_ref, flux_ref,
     *, pt, t_near, dim, first_dir, second_dir, ray_axis, bc1, bc2,
     refl_kind, use_skip, max_bounces_cfg, max_bdry, wthresh, wrenew, roulette,
 ):
-    """One full bounce on column-vector state; returns (state', record)."""
+    """One full bounce on column-vector state; returns state'."""
     (ox, oy, oz, dx, dy, dz, weight, w0, alive, hfb, n_refl, n_bdry) = state
     rt = ox.shape[0]
     npad = prims_ref.shape[1]
@@ -66,10 +71,8 @@ def _one_bounce(
     inv_y = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
     inv_z = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
 
-    # ---- nearest disk hit (identical arithmetic to pallas_intersect) ----
-    def body(i, carry):
-        tmin, idx, nbx, nby, nbz = carry
-
+    def chunk_slab(i):
+        """Ray/chunk-AABB slab interval (the skip test)."""
         t0x = (bb_ref[i, 0] - ox) * inv_x
         t1x = (bb_ref[i, 3] - ox) * inv_x
         t0y = (bb_ref[i, 1] - oy) * inv_y
@@ -84,35 +87,44 @@ def _one_bounce(
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.maximum(t0z, t1z),
         )
+        return tlo, thi
+
+    def chunk_ts(i):
+        """Analytic disk hits for chunk i: (t, valid, nx, ny, nz)."""
+        sl = pl.ds(i * pt, pt)
+        cx = prims_ref[0, sl][None, :]
+        cy = prims_ref[1, sl][None, :]
+        cz = prims_ref[2, sl][None, :]
+        nx = prims_ref[3, sl][None, :]
+        ny = prims_ref[4, sl][None, :]
+        nz = prims_ref[5, sl][None, :]
+        r2 = prims_ref[6, sl][None, :]
+        ndc = prims_ref[7, sl][None, :]
+
+        denom = dx * nx + dy * ny + dz * nz
+        ndo = ox * nx + oy * ny + oz * nz
+        dsafe = jnp.where(denom == 0.0, 1e-30, denom)
+        r0 = pl.reciprocal(dsafe, approx=True)
+        r0 = r0 * (2.0 - dsafe * r0)
+        t = (ndc - ndo) * r0
+        hx = ox + t * dx - cx
+        hy = oy + t * dy - cy
+        hz = oz + t * dz - cz
+        dist2 = hx * hx + hy * hy + hz * hz
+        valid = (denom != 0.0) & (t > t_near) & (dist2 < r2)
+        return t, valid, nx, ny, nz
+
+    # ---- pass 1: nearest disk hit ----------------------------------------
+    def body(i, carry):
+        tmin = carry[0]
+        tlo, thi = chunk_slab(i)
         need = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < tmin))
 
         def full(carry):
-            tmin, idx, nbx, nby, nbz = carry
-            sl = pl.ds(i * pt, pt)
-            cx = prims_ref[0, sl][None, :]
-            cy = prims_ref[1, sl][None, :]
-            cz = prims_ref[2, sl][None, :]
-            nx = prims_ref[3, sl][None, :]
-            ny = prims_ref[4, sl][None, :]
-            nz = prims_ref[5, sl][None, :]
-            r2 = prims_ref[6, sl][None, :]
-            ndc = prims_ref[7, sl][None, :]
-
-            denom = dx * nx + dy * ny + dz * nz
-            ndo = ox * nx + oy * ny + oz * nz
-            dsafe = jnp.where(denom == 0.0, 1e-30, denom)
-            r0 = pl.reciprocal(dsafe, approx=True)
-            r0 = r0 * (2.0 - dsafe * r0)
-            t = (ndc - ndo) * r0
-            hx = ox + t * dx - cx
-            hy = oy + t * dy - cy
-            hz = oz + t * dz - cz
-            dist2 = hx * hx + hy * hy + hz * hz
-            valid = (denom != 0.0) & (t > t_near) & (dist2 < r2)
+            tmin, nbx, nby, nbz = carry
+            t, valid, nx, ny, nz = chunk_ts(i)
             tt = jnp.where(valid, t, BIG)
-
             cmin = jnp.min(tt, axis=1, keepdims=True)
-            carg = jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None] + i * pt
             take = cmin < tmin
             # hit normal via masked average over argmin-equal lanes (coplanar
             # ties share the normal; see module docstring)
@@ -125,7 +137,6 @@ def _one_bounce(
             anz = jnp.sum(jnp.where(eq, nz, 0.0), axis=1, keepdims=True) / cnt
             return (
                 jnp.where(take, cmin, tmin),
-                jnp.where(take, carg, idx),
                 jnp.where(take, anx, nbx),
                 jnp.where(take, any_, nby),
                 jnp.where(take, anz, nbz),
@@ -137,12 +148,11 @@ def _one_bounce(
 
     init = (
         jnp.full((rt, 1), BIG, jnp.float32),
-        jnp.zeros((rt, 1), jnp.int32),
         jnp.zeros((rt, 1), jnp.float32),
         jnp.zeros((rt, 1), jnp.float32),
         jnp.zeros((rt, 1), jnp.float32),
     )
-    t_geo, prim, nhx, nhy, nhz = jax.lax.fori_loop(0, npad // pt, body, init)
+    t_geo, nhx, nhy, nhz = jax.lax.fori_loop(0, npad // pt, body, init)
     hit_geo = t_geo < BIG
 
     # ---- wall crossings (finite rectangles) -----------------------------
@@ -155,6 +165,7 @@ def _one_bounce(
     hi2 = walls_ref[0, 3]
     lor = walls_ref[0, 4]
     hir = walls_ref[0, 5]
+    tau = walls_ref[0, 6]
 
     def wall_t(axis, lo, hi, other_axis, other_lo, other_hi):
         dax = dcols[axis]
@@ -231,6 +242,27 @@ def _one_bounce(
     bf_pass = is_geo_ev & backface & (~hfb)
     collide = is_geo_ev & (~backface)
 
+    # ---- pass 2: flux deposits (candidate-window neighbor model) --------
+    wdep = jnp.where(collide, weight, 0.0)  # pre-sticking weight
+    tlim = jnp.where(collide, t_geo + tau, -BIG)
+
+    def dep_body(i, carry):
+        tlo, thi = chunk_slab(i)
+        need = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo <= tlim))
+
+        @pl.when(need)
+        def _():
+            t, valid, _, _, _ = chunk_ts(i)
+            # inclusive: the primary hit (t == t_geo) always deposits,
+            # even with a zero window
+            depm = (valid & (t <= tlim)).astype(jnp.float32)
+            dep = jnp.sum(depm * wdep, axis=0)  # (pt,)
+            flux_ref[pl.ds(i, 1), :] += dep[None, :]
+
+        return carry
+
+    jax.lax.fori_loop(0, npad // pt, dep_body, 0)
+
     # reflection direction (uniforms mirror physics/reflection.py)
     if refl_kind == ReflectionKind.DIFFUSE:
         z = 1.0 - 2.0 * u1
@@ -289,11 +321,6 @@ def _one_bounce(
     )
     alive_out = alive & (~dead)
 
-    record = (
-        prim.astype(jnp.float32),
-        jnp.where(collide, weight, 0.0),  # pre-sticking deposit (> 0)
-        ox, oy, oz, dx, dy, dz,
-    )
     stats = (
         jnp.where(collide, 1.0, 0.0),
         jnp.where(is_wall, 1.0, 0.0),
@@ -304,18 +331,22 @@ def _one_bounce(
         fx, fy, fz, gdx, gdy, gdz, weight_out, w0, alive_out, hfb_out,
         n_refl_new, n_bdry_new,
     )
-    return new_state, record, stats
+    return new_state, stats
 
 
 def _bounce_kernel(
     org_ref, dir_ref, w_ref, w0_ref, flags_ref, uni_ref, prims_ref, bb_ref,
     walls_ref, stick_ref,
-    org_out, dir_out, w_out, flags_out, rec_out, stats_out,
+    org_out, dir_out, w_out, flags_out, stats_out, flux_out,
     *, n_sub, **kw,
 ):
     o = org_ref[:]  # (RT, 3)
     d = dir_ref[:]
     rt = o.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        flux_out[:] = jnp.zeros_like(flux_out)
 
     state = (
         o[:, 0:1], o[:, 1:2], o[:, 2:3],
@@ -331,11 +362,10 @@ def _bounce_kernel(
         u1 = uni_ref[:, 3 * k : 3 * k + 1]
         u2 = uni_ref[:, 3 * k + 1 : 3 * k + 2]
         u3 = uni_ref[:, 3 * k + 2 : 3 * k + 3]
-        state, rec, stats = _one_bounce(
-            state, u1, u2, u3, prims_ref, bb_ref, walls_ref, stick_ref, **kw
+        state, stats = _one_bounce(
+            state, u1, u2, u3, prims_ref, bb_ref, walls_ref, stick_ref,
+            flux_out, **kw
         )
-        for j in range(8):
-            rec_out[:, 8 * k + j : 8 * k + j + 1] = rec[j]
         st = [a + b for a, b in zip(st, stats)]
 
     (fx, fy, fz, gdx, gdy, gdz, weight_out, _, alive_out, hfb_out,
@@ -377,18 +407,21 @@ def fused_bounce(
 
     org/dirn (R,3); weight/w0 (R,1); flags (R,4) [alive,hfb,n_refl,n_bdry];
     uniforms (R,3*n_sub); prims (8,Npad); chunk_bbs (C,8); walls (1,8)
-    [lo1 hi1 lo2 hi2 lo_r hi_r 0 0]; sticking (1,1).
-    Returns (org', dirn', weight', flags', rec (R,8*n_sub), stats (R,8)).
+    [lo1 hi1 lo2 hi2 lo_r hi_r tau 0] with tau the deposit window
+    1.1*gridDelta; sticking (1,1).
+    Returns (org', dirn', weight', flags', stats (R,8),
+    flux (C, pt) f32 in SORTED prim order summed over all rays and bounces).
     """
     R = org.shape[0]
     rt = min(rt, R)
     grid = (R // rt,)
+    npad = prims.shape[1]
     kernel = functools.partial(
         _bounce_kernel, n_sub=n_sub, pt=pt, t_near=float(t_near), dim=dim,
         first_dir=first_dir, second_dir=second_dir, ray_axis=ray_axis,
         bc1=BoundaryCondition(bc1), bc2=BoundaryCondition(bc2),
         refl_kind=ReflectionKind(refl_kind),
-        use_skip=prims.shape[1] // pt >= 24,
+        use_skip=npad // pt >= 24,
         max_bounces_cfg=float(max_bounces_cfg), max_bdry=float(max_bdry),
         wthresh=float(wthresh), wrenew=float(wrenew), roulette=bool(roulette),
     )
@@ -407,16 +440,18 @@ def fused_bounce(
             whole(prims), whole(chunk_bbs), whole(walls), whole(sticking),
         ],
         out_specs=[
-            vspec(3), vspec(3), vspec(1), vspec(4), vspec(8 * n_sub),
-            vspec(8),
+            vspec(3), vspec(3), vspec(1), vspec(4), vspec(8),
+            pl.BlockSpec(
+                (npad // pt, pt), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((R, 3), jnp.float32),
             jax.ShapeDtypeStruct((R, 3), jnp.float32),
             jax.ShapeDtypeStruct((R, 1), jnp.float32),
             jax.ShapeDtypeStruct((R, 4), jnp.float32),
-            jax.ShapeDtypeStruct((R, 8 * n_sub), jnp.float32),
             jax.ShapeDtypeStruct((R, 8), jnp.float32),
+            jax.ShapeDtypeStruct((npad // pt, pt), jnp.float32),
         ],
         interpret=interpret,
     )(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs, walls,

@@ -566,6 +566,7 @@ def trace_batch(
         and ReflectionKind(particle.reflection_kind)
         in (ReflectionKind.DIFFUSE, ReflectionKind.SPECULAR)
         and getattr(geometry, "prims_soa", None) is not None
+        and getattr(geometry, "soa_inv_perm", None) is not None
         and geometry.prims_soa.shape[1] <= 262144
         and (
             jax.default_backend() == "tpu"
@@ -573,9 +574,11 @@ def trace_batch(
         )
     )
     if use_fused:
+        # walls layout: [lo1 hi1 lo2 hi2 lo_r hi_r tau 0]; tau is the flux
+        # deposit window 1.1*gridDelta (ref: gpu/raygTrace.hpp:116)
+        tau = jnp.asarray(1.1 * geometry.grid_delta, dtype)
         walls = jnp.stack(
-            [lo1, hi1, lo2, hi2, lo_r, hi_r,
-             jnp.zeros((), dtype), jnp.zeros((), dtype)]
+            [lo1, hi1, lo2, hi2, lo_r, hi_r, tau, jnp.zeros((), dtype)]
         ).reshape(1, 8).astype(jnp.float32)
         stick_arr = jnp.reshape(particle.sticking, (1, 1)).astype(jnp.float32)
         interp = jax.default_backend() != "tpu"
@@ -622,7 +625,7 @@ def trace_batch(
                     ],
                     axis=1,
                 )
-                org2, dir2, w2, flags2, rec, stats = (
+                org2, dir2, w2, flags2, stats, flux_sorted = (
                     pallas_bounce.fused_bounce(
                         org, dirn, weight[:, None], w0[:, None], flags,
                         uniforms, geometry.prims_soa, geometry.soa_chunk_bbs,
@@ -640,31 +643,9 @@ def trace_batch(
                         n_sub=n_sub,
                     )
                 )
-                rec = rec.reshape(Rb, n_sub, 8)
-                prim_c = geometry.soa_perm[rec[:, :, 0].astype(jnp.int32)]
-                w_dep = rec[:, :, 1]
-                collide = (w_dep > 0.0).reshape(-1)  # deposit > 0 <=> collide
-                pf = prim_c.reshape(-1)
-                orgs = rec[:, :, 2:5].reshape(-1, 3)
-                dirs = rec[:, :, 5:8].reshape(-1, 3)
-
-                # neighbor multi-hit + flux, batched over all n_sub bounces:
-                # ONE packed gather + ONE scatter instead of n_sub each
-                nb_ids = geometry.neighbors[pf]
-                K = nb_ids.shape[1]
-                nb_c = jnp.clip(nb_ids, 0, n_prims - 1)
-                recpk = geometry.neighbor_pack[pf].reshape(-1, K, 8)
-                nb_ok, _ = intersect.check_neighbors_packed(orgs, dirs, recpk)
-                nb_ok = nb_ok & collide[:, None]
-                w_all = jnp.where(
-                    jnp.concatenate([collide[:, None], nb_ok], axis=1),
-                    w_dep.reshape(-1)[:, None],
-                    0.0,
-                )
-                ids_all = jnp.concatenate([pf[:, None], nb_c], axis=1)
-                flux = flux + _flux_add(
-                    ids_all.reshape(-1), w_all.reshape(-1), n_prims
-                )
+                # deposits accumulated in-kernel (sorted prim order, GPU
+                # candidate-window neighbor semantics) — unpermute and add
+                flux = flux + flux_sorted.reshape(-1)[geometry.soa_inv_perm]
 
                 sums = jnp.sum(stats[:, 0:4], axis=0)  # collide,wall,exit,trc
                 cnt = BatchCounters(
@@ -731,10 +712,10 @@ def trace_batch(
         # Pallas launch there. Wide stages are compute bound — keep n_sub
         # small so compaction thresholds are checked every bounce.
         if width > 16384:
-            return 1
+            return int(_os.environ.get("VIENNARAY_TPU_NSUB_WIDE", "1"))
         if width > 2048:
-            return 4
-        return 16
+            return int(_os.environ.get("VIENNARAY_TPU_NSUB_MID", "4"))
+        return int(_os.environ.get("VIENNARAY_TPU_NSUB_TAIL", "16"))
 
     width = R
     for cap in stage_caps:
