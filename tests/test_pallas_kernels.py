@@ -164,3 +164,73 @@ def test_fused_bounce_multi_matches_sequential():
     assert float(np.asarray(sta)[:, 0].sum()) > 50
     # collisions actually deposited flux
     assert float(np.asarray(fl2).sum()) > 0.0
+
+
+def test_fused_bounce_per_material_sticking():
+    """per_mat megakernel: a constant per-prim table equals the scalar path
+    bitwise; a varying table lands each collided ray's weight exactly on
+    w*(1-s[mat]) for one of the table's entries."""
+    import numpy as np
+
+    from viennaray_tpu.config import BoundaryCondition, ReflectionKind
+    from viennaray_tpu.geometry.disk_geometry import DiskGeometry
+    from viennaray_tpu.io import fixtures
+    from viennaray_tpu.ops import pallas_bounce
+
+    pts, nrm = fixtures.create_trench_grid_3d(
+        grid_delta=0.5, extent=3.0, trench_width=2.0, trench_depth=2.0
+    )
+    geo = DiskGeometry.build(pts, nrm, grid_delta=0.5)
+    npad = geo.prims_soa.shape[1]
+    R = 256
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    org = jnp.stack(
+        [
+            jax.random.uniform(k1, (R,), minval=-2.0, maxval=2.0),
+            jax.random.uniform(k2, (R,), minval=-2.0, maxval=2.0),
+            jnp.full((R,), 3.5),
+        ],
+        axis=1,
+    )
+    dirn = jnp.tile(jnp.asarray([[0.05, 0.0, -0.999]]), (R, 1))
+    dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
+    w = jnp.ones((R, 1), jnp.float32)
+    flags = jnp.concatenate(
+        [jnp.ones((R, 1)), jnp.zeros((R, 3))], axis=1
+    ).astype(jnp.float32)
+    uni = jax.random.uniform(k3, (R, 3), dtype=jnp.float32)
+    walls = jnp.asarray(
+        [[-3.25, 3.25, -3.25, 3.25, -2.0, 3.6, 0.55, 0.0]], jnp.float32
+    )
+    kw = dict(
+        t_near=1e-4, dim=3, first_dir=0, second_dir=1, ray_axis=2,
+        bc1=BoundaryCondition.PERIODIC, bc2=BoundaryCondition.PERIODIC,
+        refl_kind=ReflectionKind.DIFFUSE, interpret=True, n_sub=1,
+        roulette=False,
+    )
+    args = (org, dirn, w, w, flags, uni, geo.prims_soa, geo.soa_chunk_bbs,
+            walls)
+
+    # constant table == scalar, bitwise
+    s = 0.3
+    out_scalar = pallas_bounce.fused_bounce(
+        *args, jnp.asarray([[s]], jnp.float32), per_mat=False, **kw
+    )
+    out_table = pallas_bounce.fused_bounce(
+        *args, jnp.full((1, npad), s, jnp.float32), per_mat=True, **kw
+    )
+    for a, b in zip(out_scalar, out_table):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # varying table: material = (z < 0), sticking 0.25 below / 0.75 above
+    z_sorted = np.asarray(geo.prims_soa)[2]
+    table = np.where(z_sorted < 0.0, 0.25, 0.75).astype(np.float32)
+    o, d, w_out, f, st, fl = pallas_bounce.fused_bounce(
+        *args, jnp.asarray(table[None, :]), per_mat=True, **kw
+    )
+    collided = np.asarray(st)[:, 0] > 0.5
+    assert collided.sum() > 50
+    wv = np.asarray(w_out)[collided, 0]
+    ok = np.isclose(wv, 0.75) | np.isclose(wv, 0.25) | np.isclose(wv, 0.0)
+    assert ok.all(), wv[~ok][:5]

@@ -61,6 +61,7 @@ def _one_bounce(
     state, u1, u2, u3, prims_ref, bb_ref, walls_ref, stick_ref, flux_ref,
     *, pt, t_near, dim, first_dir, second_dir, ray_axis, bc1, bc2,
     refl_kind, use_skip, max_bounces_cfg, max_bdry, wthresh, wrenew, roulette,
+    per_mat=False,
 ):
     """One full bounce on column-vector state; returns state'."""
     (ox, oy, oz, dx, dy, dz, weight, w0, alive, hfb, n_refl, n_bdry) = state
@@ -90,7 +91,7 @@ def _one_bounce(
         return tlo, thi
 
     def chunk_ts(i):
-        """Analytic disk hits for chunk i: (t, valid, nx, ny, nz)."""
+        """Analytic disk hits for chunk i: (t, valid, nx, ny, nz, stick)."""
         sl = pl.ds(i * pt, pt)
         cx = prims_ref[0, sl][None, :]
         cy = prims_ref[1, sl][None, :]
@@ -112,7 +113,8 @@ def _one_bounce(
         hz = oz + t * dz - cz
         dist2 = hx * hx + hy * hy + hz * hz
         valid = (denom != 0.0) & (t > t_near) & (dist2 < r2)
-        return t, valid, nx, ny, nz
+        stk = stick_ref[0, sl][None, :] if per_mat else None
+        return t, valid, nx, ny, nz, stk
 
     # ---- pass 1: nearest disk hit ----------------------------------------
     def body(i, carry):
@@ -121,13 +123,15 @@ def _one_bounce(
         need = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < tmin))
 
         def full(carry):
-            tmin, nbx, nby, nbz = carry
-            t, valid, nx, ny, nz = chunk_ts(i)
+            tmin, nbx, nby, nbz, stk_c = carry
+            t, valid, nx, ny, nz, stk = chunk_ts(i)
             tt = jnp.where(valid, t, BIG)
             cmin = jnp.min(tt, axis=1, keepdims=True)
             take = cmin < tmin
             # hit normal via masked average over argmin-equal lanes (coplanar
-            # ties share the normal; see module docstring)
+            # ties share the normal; see module docstring) — same recovery
+            # for per-prim sticking (materials agree on coplanar same-material
+            # overlaps; distinct-plane exact ties are measure-zero in f32)
             eq = (tt == cmin) & valid
             cnt = jnp.maximum(
                 jnp.sum(eq.astype(jnp.float32), axis=1, keepdims=True), 1.0
@@ -135,11 +139,18 @@ def _one_bounce(
             anx = jnp.sum(jnp.where(eq, nx, 0.0), axis=1, keepdims=True) / cnt
             any_ = jnp.sum(jnp.where(eq, ny, 0.0), axis=1, keepdims=True) / cnt
             anz = jnp.sum(jnp.where(eq, nz, 0.0), axis=1, keepdims=True) / cnt
+            if per_mat:
+                astk = (
+                    jnp.sum(jnp.where(eq, stk, 0.0), axis=1, keepdims=True)
+                    / cnt
+                )
+                stk_c = jnp.where(take, astk, stk_c)
             return (
                 jnp.where(take, cmin, tmin),
                 jnp.where(take, anx, nbx),
                 jnp.where(take, any_, nby),
                 jnp.where(take, anz, nbz),
+                stk_c,
             )
 
         if use_skip:
@@ -151,8 +162,11 @@ def _one_bounce(
         jnp.zeros((rt, 1), jnp.float32),
         jnp.zeros((rt, 1), jnp.float32),
         jnp.zeros((rt, 1), jnp.float32),
+        jnp.zeros((rt, 1), jnp.float32),
     )
-    t_geo, nhx, nhy, nhz = jax.lax.fori_loop(0, npad // pt, body, init)
+    t_geo, nhx, nhy, nhz, stk_hit = jax.lax.fori_loop(
+        0, npad // pt, body, init
+    )
     hit_geo = t_geo < BIG
 
     # ---- wall crossings (finite rectangles) -----------------------------
@@ -252,7 +266,7 @@ def _one_bounce(
 
         @pl.when(need)
         def _():
-            t, valid, _, _, _ = chunk_ts(i)
+            t, valid, _, _, _, _ = chunk_ts(i)
             # inclusive: the primary hit (t == t_geo) always deposits,
             # even with a zero window
             depm = (valid & (t <= tlim)).astype(jnp.float32)
@@ -285,7 +299,7 @@ def _one_bounce(
             inv_n = 1.0 / jnp.maximum(nrm2, 1e-12)
             rdx, rdy = rdx * inv_n, rdy * inv_n
 
-    sticking = stick_ref[0, 0]
+    sticking = stk_hit if per_mat else stick_ref[0, 0]
     new_weight = weight - weight * sticking
     died_absorb = collide & (new_weight <= 0.0)
     n_refl_new = n_refl + jnp.where(collide, 1.0, 0.0)
@@ -392,7 +406,7 @@ def _bounce_kernel(
     static_argnames=(
         "t_near", "rt", "pt", "dim", "first_dir", "second_dir", "ray_axis",
         "bc1", "bc2", "refl_kind", "max_bounces_cfg", "max_bdry", "wthresh",
-        "wrenew", "roulette", "interpret", "n_sub",
+        "wrenew", "roulette", "interpret", "n_sub", "per_mat",
     ),
 )
 def fused_bounce(
@@ -402,13 +416,16 @@ def fused_bounce(
     bc2=BoundaryCondition.REFLECTIVE,
     refl_kind=ReflectionKind.DIFFUSE, max_bounces_cfg=2**30, max_bdry=1000,
     wthresh=0.1, wrenew=0.3, roulette=True, interpret=False, n_sub=1,
+    per_mat=False,
 ):
     """Run ``n_sub`` fused bounces for all rays.
 
     org/dirn (R,3); weight/w0 (R,1); flags (R,4) [alive,hfb,n_refl,n_bdry];
     uniforms (R,3*n_sub); prims (8,Npad); chunk_bbs (C,8); walls (1,8)
     [lo1 hi1 lo2 hi2 lo_r hi_r tau 0] with tau the deposit window
-    1.1*gridDelta; sticking (1,1).
+    1.1*gridDelta; sticking (1,1) scalar, or (1,Npad) per-prim in SORTED
+    order when ``per_mat`` (the GPU per-material sticking map,
+    rayParticle.hpp:213, resolved per prim on the host side).
     Returns (org', dirn', weight', flags', stats (R,8),
     flux (C, pt) f32 in SORTED prim order summed over all rays and bounces).
     """
@@ -424,6 +441,7 @@ def fused_bounce(
         use_skip=npad // pt >= 24,
         max_bounces_cfg=float(max_bounces_cfg), max_bdry=float(max_bdry),
         wthresh=float(wthresh), wrenew=float(wrenew), roulette=bool(roulette),
+        per_mat=bool(per_mat),
     )
     vspec = lambda c: pl.BlockSpec(
         (rt, c), lambda i: (i, 0), memory_space=pltpu.VMEM

@@ -560,7 +560,6 @@ def trace_batch(
         and collision_fn is None
         and reflection_fn is None
         and aux_init_fn is None
-        and particle.material_sticking is None
         and particle.mean_free_path <= 0.0
         and not config.use_wdist
         and ReflectionKind(particle.reflection_kind)
@@ -580,7 +579,21 @@ def trace_batch(
         walls = jnp.stack(
             [lo1, hi1, lo2, hi2, lo_r, hi_r, tau, jnp.zeros((), dtype)]
         ).reshape(1, 8).astype(jnp.float32)
-        stick_arr = jnp.reshape(particle.sticking, (1, 1)).astype(jnp.float32)
+        if particle.material_sticking is not None:
+            # resolve the material table to per-prim sticking in SORTED prim
+            # order (padded lanes map to prim 0 — they never produce hits)
+            per_prim_stick = particle.sticking_for(material_ids)
+            stick_arr = (
+                per_prim_stick[geometry.soa_perm]
+                .reshape(1, -1)
+                .astype(jnp.float32)
+            )
+            per_mat = True
+        else:
+            stick_arr = jnp.reshape(particle.sticking, (1, 1)).astype(
+                jnp.float32
+            )
+            per_mat = False
         interp = jax.default_backend() != "tpu"
 
         def make_fused_body(n_sub):
@@ -641,6 +654,7 @@ def trace_batch(
                         roulette=config.roulette,
                         interpret=interp,
                         n_sub=n_sub,
+                        per_mat=per_mat,
                     )
                 )
                 # deposits accumulated in-kernel (sorted prim order, GPU
