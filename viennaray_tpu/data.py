@@ -53,6 +53,7 @@ class TracingData:
         self._scalar: List[float] = []
         self._scalar_labels: List[str] = []
         self._scalar_merge: List[MergeType] = []
+        self._scalar_counts: List[int] = []
 
     # -- vector channels ---------------------------------------------------
     def set_number_of_vector_data(self, size: int):
@@ -105,6 +106,7 @@ class TracingData:
         self._scalar = [0.0] * size
         self._scalar_labels = ["scalarData"] * size
         self._scalar_merge = [MergeType.SUM] * size
+        self._scalar_counts = [0] * size
 
     def set_scalar_data(self, num: int, value: float, label: str = "scalarData"):
         self._scalar[num] = float(value)
@@ -134,16 +136,46 @@ class TracingData:
     # -- accumulation across apply() runs ---------------------------------
     def accumulate_vector(self, num: int, contribution: np.ndarray):
         """Fold a new per-primitive contribution into channel ``num``
-        following its merge type (ref: rayTraceKernel.hpp:348-378)."""
+        following its merge type (ref: rayTraceKernel.hpp:348-378).
+
+        AVERAGE is not a valid merge type for vector data — the reference
+        warns and skips the merge (rayTraceKernel.hpp:371-375); mirrored here.
+        """
         merge = self._vector_merge[num]
         contribution = np.asarray(contribution, np.float64)
         if merge == MergeType.APPEND:
             self._vector[num] = np.concatenate([self._vector[num], contribution])
-        else:  # SUM (AVERAGE over shards is handled at reduce time)
+        elif merge == MergeType.AVERAGE:
+            import warnings
+
+            warnings.warn("Invalid merge type in local vector data.")
+        else:  # SUM
             if self._vector[num].size == 0:
                 self._vector[num] = contribution.copy()
             else:
                 self._vector[num] = self._vector[num] + contribution
+
+    def accumulate_scalar(self, num: int, contribution: float):
+        """Fold one per-unit contribution (one thread/shard/batch worth) into
+        scalar channel ``num``.
+
+        SUM adds; AVERAGE keeps the running mean over all contributions —
+        the incremental form of the reference's sum-then-divide-by-numThreads
+        merge (rayTraceKernel.hpp:385-405).
+        """
+        merge = self._scalar_merge[num]
+        if merge == MergeType.AVERAGE:
+            c = self._scalar_counts[num]
+            self._scalar[num] = (self._scalar[num] * c + float(contribution)) / (
+                c + 1
+            )
+            self._scalar_counts[num] = c + 1
+        elif merge == MergeType.SUM:
+            self._scalar[num] = self._scalar[num] + float(contribution)
+        else:
+            import warnings
+
+            warnings.warn("Invalid merge type in local scalar data.")
 
 
 class DataLog:

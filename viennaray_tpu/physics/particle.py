@@ -37,6 +37,13 @@ class Particle:
       mean_free_path: gas-phase scattering mean free path; < 0 disables
         (ref: getMeanFreePath, rayParticle.hpp:73).
       reflection_kind: static reflection model selector.
+      direction: optional fixed initial direction (3,) overriding the
+        source's sampled direction for every ray — the TPU analog of
+        ``initNewWithDirection`` returning a nonzero vector
+        (rayParticle.hpp:31,92) and the GPU particle struct's fixed
+        ``direction`` field (rayParticle.hpp:206-220). Normalized (and
+        z-flattened in 2D) by the trace kernel. For per-ray randomized
+        directions use the ``init_dir_fn`` hook on ``trace_batch``.
       data_labels: static names of the flux channels this particle fills
         (ref: getLocalDataLabels, rayParticle.hpp:78).
       name: species name.
@@ -46,6 +53,7 @@ class Particle:
     cosine_exponent: jnp.ndarray
     cone_angle: jnp.ndarray
     material_sticking: Optional[jnp.ndarray] = None
+    direction: Optional[jnp.ndarray] = None
     mean_free_path: float = struct.field(pytree_node=False, default=-1.0)
     reflection_kind: int = struct.field(
         pytree_node=False, default=int(ReflectionKind.DIFFUSE)
@@ -96,8 +104,12 @@ def SpecularParticle(
     data_label: str = "flux",
     dtype=jnp.float32,
     material_sticking=None,
+    direction=None,
 ) -> Particle:
-    """Constant-sticking specular particle (ref: rayParticle.hpp:165-204)."""
+    """Constant-sticking specular particle (ref: rayParticle.hpp:165-204).
+
+    ``direction``: optional fixed initial direction (the GPU particle
+    struct's ``direction`` field, rayParticle.hpp:217)."""
     return Particle(
         sticking=jnp.asarray(sticking_probability, dtype),
         cosine_exponent=jnp.asarray(source_power, dtype),
@@ -105,6 +117,7 @@ def SpecularParticle(
         material_sticking=None
         if material_sticking is None
         else jnp.asarray(material_sticking, dtype),
+        direction=None if direction is None else jnp.asarray(direction, dtype),
         reflection_kind=int(ReflectionKind.SPECULAR),
         data_labels=(data_label,),
         name="SpecularParticle",

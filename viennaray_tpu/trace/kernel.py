@@ -134,6 +134,8 @@ def trace_batch(
     collision_fn=None,
     reflection_fn=None,
     aux_init_fn=None,
+    init_dir_fn=None,
+    log_fn=None,
     differentiable: bool = False,
     num_bounces: Optional[int] = None,
 ):
@@ -151,6 +153,22 @@ def trace_batch(
     per-ray auxiliary state (the analog of stateful custom particles, e.g.
     ion energy set in initNew, rayParticle.hpp:30-31); when provided, both
     hooks take and reflection_fn returns the aux array.
+
+    init_dir_fn(key, ray_indices) -> (R, 3) optionally overrides the initial
+    ray direction per ray — the analog of ``initNewWithDirection``
+    (rayParticle.hpp:31,92): rows that are exactly the zero vector keep the
+    source's sampled direction (the reference's ``isZero`` check,
+    rayTraceKernel.hpp:133-139); nonzero rows are normalized and used.
+    The ``particle.direction`` field is the constant-direction special case
+    (GPU particle struct, rayParticle.hpp:217).
+
+    log_fn(key, aux, ray_indices, valid) -> sequence of 1-D arrays runs
+    INSIDE the jitted trace right after particle init — the analog of
+    ``particle->logData(myDataLog)`` (rayTraceKernel.hpp:132,
+    rayUtil.hpp:49-63): it sees the per-ray init state (``aux``) and returns
+    per-row log contributions (e.g. an energy histogram over the batch),
+    merged additively across batches by the caller. When provided,
+    trace_batch returns (flux, counters, logs).
     """
     dim = config.dim
     ray_axis, first_dir, second_dir, _, _ = get_trace_settings(
@@ -190,10 +208,35 @@ def trace_batch(
     dirn = dirn.astype(dtype)
     w0 = w0.astype(dtype)
 
+    # ---- particle-controlled initial direction ---------------------------
+    # (ref: initNewWithDirection, rayParticle.hpp:31,92; zero vector means
+    # "use the source direction", rayTraceKernel.hpp:133-139)
+    def _use_dir(cand):
+        nonzero = jnp.any(cand != 0.0, axis=-1, keepdims=True)
+        if dim == 2:
+            cand = cand.at[:, 2].set(0.0)
+        n = jnp.linalg.norm(cand, axis=-1, keepdims=True)
+        cand = cand / jnp.where(n > 0.0, n, 1.0)
+        return jnp.where(nonzero, cand.astype(dtype), dirn)
+
+    if getattr(particle, "direction", None) is not None:
+        dirn = _use_dir(jnp.broadcast_to(particle.direction, (R, 3)))
+    if init_dir_fn is not None:
+        dirn = _use_dir(
+            init_dir_fn(jax.random.fold_in(batch_key, 0xD1B), ray_indices)
+        )
+
     if aux_init_fn is not None:
         aux0 = aux_init_fn(jax.random.fold_in(batch_key, 0xA0C), ray_indices)
     else:
         aux0 = jnp.zeros((R, 1), dtype)
+
+    logs = None
+    if log_fn is not None:
+        logs = tuple(
+            log_fn(jax.random.fold_in(batch_key, 0x10C), aux0, ray_indices,
+                   valid)
+        )
 
     weight = jnp.where(valid, w0, 0.0)
     alive = valid
@@ -698,6 +741,8 @@ def trace_batch(
             return body(s), None
 
         state, _ = jax.lax.scan(scan_body, state, None, length=bounces)
+        if logs is not None:
+            return state[-2], state[-1], logs
         return state[-2], state[-1]
 
     # ---- staged execution with ray compaction ---------------------------
@@ -755,6 +800,8 @@ def trace_batch(
             hfb[take], n_refl[take], n_bdry[take], aux[take], flux, counters,
         )
 
+    if logs is not None:
+        return state[-2], state[-1], logs
     return state[-2], state[-1]
 
 

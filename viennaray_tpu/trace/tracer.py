@@ -38,16 +38,30 @@ from . import postprocess
 from .kernel import trace_batch
 
 
-@partial(jax.jit, static_argnames=("config", "geo_type"), donate_argnums=(7,))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config", "geo_type", "collision_fn", "reflection_fn", "aux_init_fn",
+        "init_dir_fn", "log_fn",
+    ),
+    donate_argnums=(7,),
+)
 def _traced_batch(
     geometry, source, particle, bbox, batch_key, ray_indices, valid,
-    flux_acc, config, geo_type,
+    flux_acc, config, geo_type, collision_fn=None, reflection_fn=None,
+    aux_init_fn=None, init_dir_fn=None, log_fn=None,
 ):
-    flux, counters = trace_batch(
+    out = trace_batch(
         geometry, source, particle, bbox, batch_key, ray_indices, valid,
-        config, geo_type,
+        config, geo_type, collision_fn=collision_fn,
+        reflection_fn=reflection_fn, aux_init_fn=aux_init_fn,
+        init_dir_fn=init_dir_fn, log_fn=log_fn,
     )
-    return flux_acc + flux, counters
+    if log_fn is not None:
+        flux, counters, logs = out
+        return flux_acc + flux, counters, logs
+    flux, counters = out
+    return flux_acc + flux, counters, None
 
 
 class _TraceBase:
@@ -77,6 +91,10 @@ class _TraceBase:
         self._use_wdist = False
         self._print_progress = False
         self._log_fn = None
+        self._collision_fn = None
+        self._reflection_fn = None
+        self._aux_init_fn = None
+        self._init_dir_fn = None
         self._local_data = TracingData()
         self._global_data = None
         self._info = TraceInfo()
@@ -145,11 +163,25 @@ class _TraceBase:
         self._print_progress = False
 
     def set_data_log_fn(self, fn):
-        """Per-batch data logging hook (TPU analog of particle->logData,
-        rayUtil.hpp:49-63 + rayTraceKernel.hpp:132): fn(batch_key,
-        ray_indices, valid) -> list of 1-D contribution arrays, summed
-        additively across batches/runs into get_data_log().data."""
+        """Per-ray data logging hook (TPU analog of particle->logData,
+        rayUtil.hpp:49-63 + rayTraceKernel.hpp:132). Runs INSIDE the jitted
+        trace right after particle init: fn(key, aux, ray_indices, valid) ->
+        list of 1-D contribution arrays (e.g. an init-energy histogram over
+        the batch), summed additively across batches/runs into
+        get_data_log().data. ``aux`` is the per-ray state allocated by
+        ``aux_init_fn`` (see set_custom_functions)."""
         self._log_fn = fn
+
+    def set_custom_functions(self, collision_fn=None, reflection_fn=None,
+                             aux_init_fn=None, init_dir_fn=None):
+        """Install custom particle behavior hooks (the JAX analog of the
+        reference's virtual dispatch / GPU direct-callable table,
+        rayParticle.hpp:43-66, gpu/raygCallableConfig.hpp). See
+        trace/kernel.py:trace_batch for the hook signatures."""
+        self._collision_fn = collision_fn
+        self._reflection_fn = reflection_fn
+        self._aux_init_fn = aux_init_fn
+        self._init_dir_fn = init_dir_fn
 
     # -- data access (ref: rayTrace.hpp:135-145) ---------------------------
     def get_local_data(self) -> TracingData:
@@ -242,14 +274,18 @@ class _TraceBase:
             ray_indices = jnp.arange(b * batch, (b + 1) * batch, dtype=jnp.int32)
             valid = ray_indices < total_rays
             batch_key = jax.random.fold_in(base_key, b)
-            flux, counters = _traced_batch(
+            flux, counters, logs = _traced_batch(
                 geometry, source, self._particle, bbox_dev, batch_key,
                 ray_indices, valid, flux, config, geo_type,
+                collision_fn=self._collision_fn,
+                reflection_fn=self._reflection_fn,
+                aux_init_fn=self._aux_init_fn,
+                init_dir_fn=self._init_dir_fn,
+                log_fn=self._log_fn,
             )
             totals += np.array([int(c) for c in counters], np.int64)
-            if self._log_fn is not None:
-                rows = self._log_fn(batch_key, ray_indices, valid)
-                rows = [np.asarray(r, np.float64) for r in rows]
+            if logs is not None:
+                rows = [np.asarray(r, np.float64) for r in logs]
                 if not self._data_log.data:
                     self._data_log.data = rows
                 else:
