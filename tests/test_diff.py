@@ -68,19 +68,103 @@ def test_grad_sticking_matches_finite_difference():
 
     fn = jax.jit(total_flux)
     grad = jax.jit(jax.grad(total_flux))(0.3)
-    eps = 1e-2
+    eps = 3e-3
     fd = (float(fn(0.3 + eps)) - float(fn(0.3 - eps))) / (2 * eps)
     assert np.isfinite(float(grad))
     # more sticking -> fewer bounces -> less recorded flux: negative gradient
     assert float(grad) < 0
-    np.testing.assert_allclose(float(grad), fd, rtol=0.08)
+    # flux(s) is polynomial in s under a shared key (paths identical), so AD
+    # must equal central differences up to f32 noise (measured 0.003%)
+    np.testing.assert_allclose(float(grad), fd, rtol=5e-3)
 
 
-def test_diff_flux_matches_nondiff_flux():
+def test_grad_material_table_matches_fd():
+    """d flux / d material_sticking[m] through the per-material gather
+    (the GPU per-material sticking map, rayParticle.hpp:213)."""
+    geometry, source, particle, bbox, config = _setup()
+    # two materials: left half 0, right half 1
+    mats = (np.asarray(geometry.points)[:, 0] > 0).astype(np.int32)
+    geometry = geometry.replace(material_ids=jnp.asarray(mats))
+    key = jax.random.PRNGKey(11)
+    R = config.num_rays_fixed
+    ray_indices = jnp.arange(R, dtype=jnp.int32)
+    valid = jnp.ones((R,), bool)
+
+    def total_flux(table):
+        p = particle.replace(material_sticking=table)
+        f = trace_flux(
+            geometry, source, p, bbox, key, ray_indices, valid, config,
+            "disk", num_bounces=8,
+        )
+        return jnp.sum(f)
+
+    table0 = jnp.asarray([0.2, 0.5], jnp.float32)
+    fn = jax.jit(total_flux)
+    grad = np.asarray(jax.jit(jax.grad(total_flux))(table0))
+    eps = 3e-3
+    for m in range(2):
+        e = jnp.zeros(2).at[m].set(eps)
+        fd = (float(fn(table0 + e)) - float(fn(table0 - e))) / (2 * eps)
+        assert grad[m] < 0
+        np.testing.assert_allclose(grad[m], fd, rtol=5e-3)
+
+
+def test_grad_points_wdist_matches_fd():
+    """d flux / d point positions through the smooth 1/distance multi-hit
+    weighting channel (VIENNARAY_USE_WDIST, rayTraceKernel.hpp:258-296).
+
+    Scope of the contract (SURVEY §7 design stance): gradients are exact for
+    the SMOOTH channel; discrete path changes are straight-through. A rigid
+    shift of the whole geometry flips visibility for many rays at once (FD
+    diverges — measured), so the FD check perturbs ONE interior point, where
+    at eps = 3e-3 * gridDelta-scale no ray crosses a rim for this seed and
+    AD matches central differences to 0.002% (measured)."""
+    geometry, source, particle, bbox, config = _setup()
+    config = config.__class__(**{**config.__dict__, "use_wdist": True})
+    key = jax.random.PRNGKey(7)
+    R = config.num_rays_fixed
+    ray_indices = jnp.arange(R, dtype=jnp.int32)
+    valid = jnp.ones((R,), bool)
+    pts = np.asarray(geometry.points)
+    # an interior trench-bottom point
+    bot = np.where(
+        (np.abs(pts[:, 1] - pts[:, 1].min()) < 1e-6)
+        & (np.abs(pts[:, 0]) < 0.5)
+    )[0]
+    pi = int(bot[len(bot) // 2])
+    # a fixed random per-prim loss weighting makes the loss sensitive to
+    # WHERE weight lands, not just how much of it
+    lw = jax.random.uniform(jax.random.PRNGKey(3),
+                            (geometry.num_primitives,))
+
+    def loss(du):
+        g = geometry.replace(points=geometry.points.at[pi, 0].add(du))
+        f = trace_flux(
+            g, source, particle, bbox, key, ray_indices, valid, config,
+            "disk", num_bounces=4,
+        )
+        return jnp.sum(f * lw)
+
+    fn = jax.jit(loss)
+    grad = float(jax.jit(jax.grad(loss))(jnp.float32(0.0)))
+    assert np.isfinite(grad) and grad != 0.0
+    eps = 3e-3
+    fd = (float(fn(jnp.float32(eps))) - float(fn(jnp.float32(-eps)))) / (
+        2 * eps
+    )
+    np.testing.assert_allclose(grad, fd, rtol=0.01)
+
+
+def test_diff_flux_matches_nondiff_flux(monkeypatch):
     """With roulette off and enough bounces, the scan path and the while_loop
     path produce identical flux for the same key. Runs at the no-compaction
     width (<= 512): compaction permutes lanes and with them the lane-indexed
-    randomness, which the fixed-length scan path never does."""
+    randomness, which the fixed-length scan path never does.
+
+    This is an UNFUSED-path equivalence contract (the differentiable scan
+    path always runs unfused); pin the while path unfused too so the
+    fused-interpret CI leg compares like with like."""
+    monkeypatch.setenv("VIENNARAY_TPU_FUSED_INTERPRET", "0")
     geometry, source, particle, bbox, config = _setup(sticking=0.9)
     config = config.__class__(**{**config.__dict__, "num_rays_fixed": 512,
                                  "ray_batch_size": 512})

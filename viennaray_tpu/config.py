@@ -124,8 +124,18 @@ class TraceConfig:
     # (rayTraceKernel.hpp:435-460) zeroes the gradient of renewed weights, so
     # the differentiable path disables it and relies on a bounded bounce count.
     roulette: bool = True
+    # Disk multi-hit flux model: "neighbor" = the CPU reference contract
+    # (hit prim + neighbor-list re-test, rayTraceKernel.hpp:255-300);
+    # "window" = the GPU candidate-window semantics (deposit onto every disk
+    # with t <= t_hit + 1.1*gridDelta, GeneralPipelineDisk.cu:51-59,86-93).
+    flux_model: str = "neighbor"
 
     def __post_init__(self):
+        if self.flux_model not in ("neighbor", "window"):
+            raise ValueError(
+                f"flux_model must be 'neighbor' or 'window', got "
+                f"{self.flux_model!r}"
+            )
         if self.dim not in (2, 3):
             raise ValueError(f"dim must be 2 or 3, got {self.dim}")
         if self.dim == 2 and self.source_direction in (

@@ -36,6 +36,9 @@ class TriangleGeometry:
     prims_soa: jnp.ndarray = None
     soa_perm: jnp.ndarray = None
     soa_chunk_bbs: jnp.ndarray = None
+    # original id -> sorted position (< num_primitives); used to unpermute
+    # in-kernel flux from the fused megakernel
+    soa_inv_perm: jnp.ndarray = None
     dim: int = struct.field(pytree_node=False, default=3)
     grid_delta: float = struct.field(pytree_node=False, default=0.0)
 
@@ -94,8 +97,10 @@ class TriangleGeometry:
 
         sort_axis = 2 if dim == 3 else 1
         soa, soa_perm, soa_bbs = pack_triangle_prims(
-            vertices, triangles, sort_axis=sort_axis
+            vertices, triangles, normals=normals, sort_axis=sort_axis
         )
+        inv_perm = np.zeros((n,), np.int32)
+        inv_perm[soa_perm[:n]] = np.arange(n, dtype=np.int32)
 
         grid = None
         if accel and n > 0:
@@ -118,6 +123,7 @@ class TriangleGeometry:
             prims_soa=jnp.asarray(soa),
             soa_perm=jnp.asarray(soa_perm),
             soa_chunk_bbs=jnp.asarray(soa_bbs),
+            soa_inv_perm=jnp.asarray(inv_perm),
             dim=dim,
             grid_delta=float(grid_delta),
         )

@@ -1,46 +1,71 @@
-"""Fused multi-bounce megakernel with in-kernel flux deposits (disk path).
+"""Fused multi-bounce megakernel with in-kernel flux deposits.
 
 One Pallas kernel advances a ray tile through ``n_sub`` full bounce
-iterations: nearest-disk hit, finite-wall boundary event, backface
-pass/kill, **flux deposits**, sticking + reflection sampling, Russian
-roulette, and the state update. Nothing per-bounce remains on the XLA side
-except the uniform draws and counter sums — the whole bounce costs ~2
-device launches regardless of geometry size (within the VMEM prim budget).
+iterations: nearest-hit search (disks or triangles), gas-phase scattering,
+finite-wall boundary event, backface pass/kill, **flux deposits**, sticking +
+reflection sampling (diffuse / specular / coned-cosine), Russian roulette,
+and the state update. Nothing per-bounce remains on the XLA side except the
+uniform draws and counter sums — the whole bounce costs ~2 device launches
+regardless of geometry size (within the VMEM prim budget).
 
-Flux model: the OptiX pipeline's candidate-window semantics
-(GeneralPipelineDisk.cu:51-59,86-93): when the closest hit is a front-face
-collision, the pre-sticking ray weight is deposited onto EVERY disk the ray
-intersects with t < t_hit + tau, tau = 1.1*gridDelta (set at
-gpu/raygTrace.hpp:116) — the GPU twin of the CPU neighbor re-test
-(rayTraceKernel.hpp:255-300), without the MAX_NEIGHBORS=8 cap. Deposits are
-accumulated into a VMEM flux block (sorted prim order, one lane per prim)
-by a second chunk sweep that reuses the slab skip, so coherent ray tiles
-touch only the few chunks around their hits. The caller unpermutes once per
-bounce with ``soa_inv_perm``.
+Hit selection is EXACT: pass 1 keeps a per-ray running (t_min, lane) with a
+deterministic tie-break (lowest sorted-lane index; across chunks the earliest
+chunk wins), and the hit prim's normal / center / sticking are selected from
+that unique lane — no averaging.
 
-Why: the XLA bounce body lowers to ~15-20 device kernels; inside the
-`lax.while_loop` each iteration pays their launch overhead (~4 ms measured
-at tiny widths), which dominates long boundary ping-pong tails (NOTES.md),
-plus ~2.6 ms neighbor gather + 2.5-10 ms one-hot/scatter flux per bounce at
-full width. The megakernel eliminates all of it; n_sub > 1 amortizes the
-remaining launches across several bounces (tail stage runs 16 bounces per
-round trip).
+Flux models (disks):
+
+- ``"neighbor"`` (default) — the CPU reference contract
+  (rayTraceKernel.hpp:255-300 + checkLocalIntersection :462-507): the hit
+  prim always deposits the pre-sticking ray weight, and so does every disk
+  that (a) lies within the neighborhood radius 2*diskRadius of the hit
+  prim's center (the PointNeighborhood membership rule,
+  rayGeometryDisk.hpp:97-98, ||c_p - c_hit|| <= 2r), and (b) passes the
+  front-face re-test: dot(n, dir) <= -1e-6, plane t > 0, in-plane distance
+  strictly < radius. Implemented as a second chunk sweep gated by a
+  sphere/chunk-AABB distance test around the hit center — no per-lane
+  gathers, no neighbor-list indirection, identical semantics because the
+  neighbor LIST is by construction exactly the 2r ball.
+- ``"window"`` — the GPU pipeline's candidate-window semantics
+  (GeneralPipelineDisk.cu:51-59,86-93): deposit onto every disk the ray
+  intersects with t <= t_hit + tau, tau = 1.1*gridDelta
+  (gpu/raygTrace.hpp:116), no facing test, no adjacency.
+
+Triangles deposit onto the single closest hit only (single
+surfaceCollision, rayTraceKernel.hpp:301-307); backface hits kill the ray
+(rayTraceKernel.hpp:243-248) instead of the disk pass-through.
+
+Gas-phase scattering (mean_free_path > 0): P = 1 - exp(-t_event/lambda)
+preempting the event; scatter point org + dir * u with u the probability
+draw (the reference's exact arithmetic, rayTraceKernel.hpp:179-203); new
+direction uniform on the sphere (z = 1-2u, phi uniform — the polar form of
+the Marsaglia sampler, rayUtil.hpp:266-283).
+
+Coned-cosine reflection (rayReflection.hpp:54-122): the polar angle theta is
+accept-reject sampled OUTSIDE the kernel (ops/sampling.coned_cosine_theta —
+the distribution depends only on the static cone angle, not on the hit) and
+arrives through the uniforms buffer; the kernel does the Frisvad ONB +
+combine + hemisphere fix-up.
+
+Why fused: the XLA bounce body lowers to ~15-20 device kernels; inside the
+``lax.while_loop`` each iteration pays their launch overhead (~4 ms measured
+at tiny widths), which dominates long boundary ping-pong tails, plus
+neighbor gather + scatter flux costs per bounce at full width. The
+megakernel eliminates all of it; n_sub > 1 amortizes the remaining launches
+across several bounces.
 
 Constraints (the trace body falls back otherwise):
-- disk geometry in VMEM (the standard prims SoA);
-- no gas scattering (mean_free_path <= 0), no custom fns, no material
-  sticking table, no distance weighting, non-differentiable path;
-- DIFFUSE or SPECULAR reflection (coned-cosine needs an accept-reject loop).
+- geometry SoA fits the VMEM budget (disks 8 rows, triangles 12 rows);
+- no custom collision/reflection fns, no distance weighting (use_wdist),
+  non-differentiable path.
 
-Randomness comes in as precomputed uniforms (R, 3*n_sub) so the sampling
-arithmetic mirrors physics/reflection.py exactly.
-
-Hit-prim normals are recovered without per-lane gathers by a masked average
-over the argmin lanes: coplanar ties share a plane (equal normals), so the
-average is exact there; distinct-plane exact-t ties are measure-zero in f32.
+Randomness comes in as precomputed uniforms (R, n_uni*n_sub) so the sampling
+arithmetic mirrors physics/reflection.py exactly. Per sub-bounce the columns
+are [u_refl1(or theta), u_refl2, u_roulette] (+ [u_scatter, u_z, u_phi] when
+scattering is enabled).
 
 Stats output (8 f32): per-lane sums over sub-bounces of
-[collide, wall, exit, traces(alive-at-start), 0, 0, 0, 0].
+[collide, wall, exit, traces(alive-at-start), scatter, 0, 0, 0].
 """
 
 from __future__ import annotations
@@ -55,18 +80,114 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import BoundaryCondition, ReflectionKind
 
 BIG = 3.4e38
+BIGLANE = 1.0e9
+TWO_PI = 6.2831853071795864769
+
+# VMEM budget for the resident geometry SoA (bytes). 8 MiB leaves room for
+# the flux block, ray tiles and compiler scratch in ~16 MiB of VMEM.
+SOA_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _disk_chunk(block, i, pt, ox, oy, oz, dx, dy, dz, stick_ref, per_mat):
+    """Analytic ray/disk test for chunk i (ref: GeneralPipelineDisk.cu:33-47).
+
+    ``block``: the chunk's (8, pt) SoA slice (VMEM-resident view or a
+    streamed scratch copy). Returns
+    (t, denom, dist2, r2, nx, ny, nz, cx, cy, cz, stk).
+    """
+    cx = block[0:1, :]
+    cy = block[1:2, :]
+    cz = block[2:3, :]
+    nx = block[3:4, :]
+    ny = block[4:5, :]
+    nz = block[5:6, :]
+    r2 = block[6:7, :]
+    ndc = block[7:8, :]
+    sl = pl.ds(i * pt, pt)
+
+    denom = dx * nx + dy * ny + dz * nz
+    ndo = ox * nx + oy * ny + oz * nz
+    dsafe = jnp.where(denom == 0.0, 1e-30, denom)
+    r0 = pl.reciprocal(dsafe, approx=True)
+    r0 = r0 * (2.0 - dsafe * r0)  # one Newton step -> ~f32 exact
+    t = (ndc - ndo) * r0
+    hx = ox + t * dx - cx
+    hy = oy + t * dy - cy
+    hz = oz + t * dz - cz
+    dist2 = hx * hx + hy * hy + hz * hz
+    stk = stick_ref[0, sl][None, :] if per_mat else None
+    return t, denom, dist2, r2, nx, ny, nz, cx, cy, cz, stk
+
+
+def _tri_chunk(block, i, pt, ox, oy, oz, dx, dy, dz, stick_ref, per_mat,
+               t_near):
+    """Moller-Trumbore for chunk i, double-sided (Embree reports both
+    facings; backface kill happens in the bounce logic,
+    rayTraceKernel.hpp:243-248). Rows 9-11 carry the STORED unit normals
+    (user-provided orientation, rayGeometryTriangle.hpp:57-75).
+
+    ``block``: the chunk's (12, pt) SoA slice. Returns
+    (t, valid, nx, ny, nz, stk).
+    """
+    ax = block[0:1, :]
+    ay = block[1:2, :]
+    az = block[2:3, :]
+    e1x = block[3:4, :]
+    e1y = block[4:5, :]
+    e1z = block[5:6, :]
+    e2x = block[6:7, :]
+    e2y = block[7:8, :]
+    e2z = block[8:9, :]
+    nx = block[9:10, :]
+    ny = block[10:11, :]
+    nz = block[11:12, :]
+    sl = pl.ds(i * pt, pt)
+
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    det = hx * e1x + hy * e1y + hz * e1z
+    dsafe = jnp.where(jnp.abs(det) < 1e-9, 1e-30, det)
+    r0 = pl.reciprocal(dsafe, approx=True)
+    r0 = r0 * (2.0 - dsafe * r0)
+    sx = ox - ax
+    sy = oy - ay
+    sz = oz - az
+    u = (sx * hx + sy * hy + sz * hz) * r0
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = (qx * dx + qy * dy + qz * dz) * r0
+    t = (qx * e2x + qy * e2y + qz * e2z) * r0
+    valid = (
+        (jnp.abs(det) >= 1e-9)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_near)
+    )
+    stk = stick_ref[0, sl][None, :] if per_mat else None
+    return t, valid, nx, ny, nz, stk
 
 
 def _one_bounce(
-    state, u1, u2, u3, prims_ref, bb_ref, walls_ref, stick_ref, flux_ref,
-    *, pt, t_near, dim, first_dir, second_dir, ray_axis, bc1, bc2,
+    state, u, get_block, bb_ref, walls_ref, stick_ref, flux_ref,
+    *, pt, npad, t_near, dim, first_dir, second_dir, ray_axis, bc1, bc2,
     refl_kind, use_skip, max_bounces_cfg, max_bdry, wthresh, wrenew, roulette,
-    per_mat=False,
+    per_mat, geo_kind, flux_model, mfp,
 ):
-    """One full bounce on column-vector state; returns state'."""
+    """One full bounce on column-vector state; returns (state', stats).
+
+    ``get_block(i)`` yields chunk i's (rows, pt) SoA slice — a VMEM view for
+    resident geometry, or a DMA-fetched scratch copy for HBM-streamed
+    geometry (the >VMEM-budget path, the Embree-scale capability)."""
     (ox, oy, oz, dx, dy, dz, weight, w0, alive, hfb, n_refl, n_bdry) = state
     rt = ox.shape[0]
-    npad = prims_ref.shape[1]
+    # Mosaic requires integer iota; cast after (f32 holds lanes exactly
+    # up to 2^24 — far above the VMEM prim budget)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rt, pt), 1).astype(
+        jnp.float32
+    )
 
     inv_x = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
     inv_y = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
@@ -90,82 +211,83 @@ def _one_bounce(
         )
         return tlo, thi
 
-    def chunk_ts(i):
-        """Analytic disk hits for chunk i: (t, valid, nx, ny, nz, stick)."""
-        sl = pl.ds(i * pt, pt)
-        cx = prims_ref[0, sl][None, :]
-        cy = prims_ref[1, sl][None, :]
-        cz = prims_ref[2, sl][None, :]
-        nx = prims_ref[3, sl][None, :]
-        ny = prims_ref[4, sl][None, :]
-        nz = prims_ref[5, sl][None, :]
-        r2 = prims_ref[6, sl][None, :]
-        ndc = prims_ref[7, sl][None, :]
+    is_disk = geo_kind == "disk"
 
-        denom = dx * nx + dy * ny + dz * nz
-        ndo = ox * nx + oy * ny + oz * nz
-        dsafe = jnp.where(denom == 0.0, 1e-30, denom)
-        r0 = pl.reciprocal(dsafe, approx=True)
-        r0 = r0 * (2.0 - dsafe * r0)
-        t = (ndc - ndo) * r0
-        hx = ox + t * dx - cx
-        hy = oy + t * dy - cy
-        hz = oz + t * dz - cz
-        dist2 = hx * hx + hy * hy + hz * hz
-        valid = (denom != 0.0) & (t > t_near) & (dist2 < r2)
-        stk = stick_ref[0, sl][None, :] if per_mat else None
-        return t, valid, nx, ny, nz, stk
+    def hit_test(i):
+        """(tt, nx, ny, nz, cx, cy, cz, stk) with tt = BIG where invalid."""
+        if is_disk:
+            t, denom, dist2, r2, nx, ny, nz, cx, cy, cz, stk = _disk_chunk(
+                get_block(i), i, pt, ox, oy, oz, dx, dy, dz, stick_ref,
+                per_mat,
+            )
+            valid = (denom != 0.0) & (t > t_near) & (dist2 < r2)
+        else:
+            t, valid, nx, ny, nz, stk = _tri_chunk(
+                get_block(i), i, pt, ox, oy, oz, dx, dy, dz, stick_ref,
+                per_mat, t_near,
+            )
+            cx = cy = cz = None
+        tt = jnp.where(valid, t, BIG)
+        return tt, nx, ny, nz, cx, cy, cz, stk
 
-    # ---- pass 1: nearest disk hit ----------------------------------------
+    # ---- pass 1: nearest hit with unique-lane selection ------------------
+    # Tie-break: lowest sorted-lane index within a chunk; across chunks the
+    # earliest chunk wins (strict <). Deterministic; matches the reference's
+    # "one hit prim" contract (Embree picks one primID per closest hit).
+    def pick(sel, x):
+        return jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+
     def body(i, carry):
         tmin = carry[0]
         tlo, thi = chunk_slab(i)
         need = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < tmin))
 
         def full(carry):
-            tmin, nbx, nby, nbz, stk_c = carry
-            t, valid, nx, ny, nz, stk = chunk_ts(i)
-            tt = jnp.where(valid, t, BIG)
+            tmin, hlane, nbx, nby, nbz, hcx, hcy, hcz, stk_c = carry
+            tt, nx, ny, nz, cx, cy, cz, stk = hit_test(i)
             cmin = jnp.min(tt, axis=1, keepdims=True)
+            eq = tt == cmin
+            lmin = jnp.min(
+                jnp.where(eq, lane_iota, BIGLANE), axis=1, keepdims=True
+            )
+            sel = eq & (lane_iota == lmin)
             take = cmin < tmin
-            # hit normal via masked average over argmin-equal lanes (coplanar
-            # ties share the normal; see module docstring) — same recovery
-            # for per-prim sticking (materials agree on coplanar same-material
-            # overlaps; distinct-plane exact ties are measure-zero in f32)
-            eq = (tt == cmin) & valid
-            cnt = jnp.maximum(
-                jnp.sum(eq.astype(jnp.float32), axis=1, keepdims=True), 1.0
+            upd = lambda new, old: jnp.where(take, new, old)
+            out = (
+                upd(cmin, tmin),
+                upd(lmin + i * pt, hlane),
+                upd(pick(sel, nx), nbx),
+                upd(pick(sel, ny), nby),
+                upd(pick(sel, nz), nbz),
             )
-            anx = jnp.sum(jnp.where(eq, nx, 0.0), axis=1, keepdims=True) / cnt
-            any_ = jnp.sum(jnp.where(eq, ny, 0.0), axis=1, keepdims=True) / cnt
-            anz = jnp.sum(jnp.where(eq, nz, 0.0), axis=1, keepdims=True) / cnt
-            if per_mat:
-                astk = (
-                    jnp.sum(jnp.where(eq, stk, 0.0), axis=1, keepdims=True)
-                    / cnt
+            if is_disk:
+                out += (
+                    upd(pick(sel, cx), hcx),
+                    upd(pick(sel, cy), hcy),
+                    upd(pick(sel, cz), hcz),
                 )
-                stk_c = jnp.where(take, astk, stk_c)
-            return (
-                jnp.where(take, cmin, tmin),
-                jnp.where(take, anx, nbx),
-                jnp.where(take, any_, nby),
-                jnp.where(take, anz, nbz),
-                stk_c,
-            )
+            else:
+                out += (hcx, hcy, hcz)
+            if per_mat:
+                out += (upd(pick(sel, stk), stk_c),)
+            else:
+                out += (stk_c,)
+            return out
 
         if use_skip:
             return jax.lax.cond(need, full, lambda c: c, carry)
         return full(carry)
 
+    zeros = jnp.zeros((rt, 1), jnp.float32)
     init = (
-        jnp.full((rt, 1), BIG, jnp.float32),
-        jnp.zeros((rt, 1), jnp.float32),
-        jnp.zeros((rt, 1), jnp.float32),
-        jnp.zeros((rt, 1), jnp.float32),
-        jnp.zeros((rt, 1), jnp.float32),
+        jnp.full((rt, 1), BIG, jnp.float32),  # tmin
+        jnp.full((rt, 1), -1.0, jnp.float32),  # hit lane (sorted, global)
+        zeros, zeros, zeros,  # normal
+        zeros, zeros, zeros,  # center (disk only)
+        zeros,  # sticking (per_mat only)
     )
-    t_geo, nhx, nhy, nhz, stk_hit = jax.lax.fori_loop(
-        0, npad // pt, body, init
+    (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = (
+        jax.lax.fori_loop(0, npad // pt, body, init)
     )
     hit_geo = t_geo < BIG
 
@@ -180,6 +302,7 @@ def _one_bounce(
     lor = walls_ref[0, 4]
     hir = walls_ref[0, 5]
     tau = walls_ref[0, 6]
+    nbr2 = walls_ref[0, 7]
 
     def wall_t(axis, lo, hi, other_axis, other_lo, other_hi):
         dax = dcols[axis]
@@ -208,13 +331,35 @@ def _one_bounce(
     is_geo = t_geo_m <= t_ev
     is_w1 = (~is_geo) & (t_w1 <= t_ev)
     is_w2 = (~is_geo) & (~is_w1) & (t_w2 <= t_ev)
-    is_exit = t_ev >= BIG
+    is_exit = alive & (t_ev >= BIG)
 
-    is_exit = alive & is_exit
-    is_w1 = alive & is_w1 & (~is_exit)
-    is_w2 = alive & is_w2 & (~is_exit)
+    # ---- gas-phase scattering (ref: rayTraceKernel.hpp:179-203) ---------
+    if mfp > 0.0:
+        u_scat, u_z, u_phi = u[3], u[4], u[5]
+        p_scat = 1.0 - jnp.exp(-t_ev * (1.0 / mfp))
+        scat = alive & (~is_exit) & (u_scat < p_scat)
+        # scatter point = org + dir * u with u the probability draw — the
+        # reference's exact arithmetic (rayTraceKernel.hpp:190-193)
+        scx = ox + dx * u_scat
+        scy = oy + dy * u_scat
+        scz = oz + dz * u_scat
+        z = 1.0 - 2.0 * u_z
+        phi_s = TWO_PI * u_phi
+        rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        sdx = rxy * jnp.cos(phi_s)
+        sdy = rxy * jnp.sin(phi_s)
+        sdz = z
+        if dim == 2:
+            nrm = jnp.sqrt(sdx * sdx + sdy * sdy)
+            inv_n = 1.0 / jnp.maximum(nrm, 1e-12)
+            sdx, sdy, sdz = sdx * inv_n, sdy * inv_n, jnp.zeros_like(sdz)
+    else:
+        scat = jnp.zeros((rt, 1), bool)
+
+    is_w1 = alive & (~scat) & is_w1 & (~is_exit)
+    is_w2 = alive & (~scat) & is_w2 & (~is_exit)
     is_wall = is_w1 | is_w2
-    is_geo_ev = alive & is_geo & (~is_exit)
+    is_geo_ev = alive & (~scat) & is_geo & (~is_exit)
 
     hpx = ox + dx * t_ev
     hpy = oy + dy * t_ev
@@ -252,35 +397,107 @@ def _one_bounce(
 
     # ---- surface interaction -------------------------------------------
     backface = (dx * nhx + dy * nhy + dz * nhz) > 0.0
-    bf_kill = is_geo_ev & backface & hfb
-    bf_pass = is_geo_ev & backface & (~hfb)
+    if is_disk:
+        # disk backface: first hit passes through, second kills
+        # (rayTraceKernel.hpp:225-241)
+        bf_kill = is_geo_ev & backface & hfb
+        bf_pass = is_geo_ev & backface & (~hfb)
+    else:
+        # triangle backface kills (rayTraceKernel.hpp:243-248)
+        bf_kill = is_geo_ev & backface
+        bf_pass = jnp.zeros((rt, 1), bool)
     collide = is_geo_ev & (~backface)
 
-    # ---- pass 2: flux deposits (candidate-window neighbor model) --------
+    # ---- pass 2: flux deposits ------------------------------------------
     wdep = jnp.where(collide, weight, 0.0)  # pre-sticking weight
-    tlim = jnp.where(collide, t_geo + tau, -BIG)
+    h_lane_m = jnp.where(collide, h_lane, -1.0)
 
-    def dep_body(i, carry):
-        tlo, thi = chunk_slab(i)
-        need = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo <= tlim))
+    if is_disk and flux_model == "neighbor":
+        # CPU neighbor-list contract; hit centers masked to far away for
+        # non-colliding rays so their sphere test never wakes a chunk
+        qx = jnp.where(collide, hcx, BIG)
+        qy = jnp.where(collide, hcy, BIG)
+        qz = jnp.where(collide, hcz, BIG)
 
-        @pl.when(need)
-        def _():
-            t, valid, _, _, _, _ = chunk_ts(i)
-            # inclusive: the primary hit (t == t_geo) always deposits,
-            # even with a zero window
-            depm = (valid & (t <= tlim)).astype(jnp.float32)
-            dep = jnp.sum(depm * wdep, axis=0)  # (pt,)
-            flux_ref[pl.ds(i, 1), :] += dep[None, :]
+        def dep_body(i, carry):
+            # chunk wake-up: does the 2r ball around any hit center touch
+            # this chunk's (radius-inflated) AABB?
+            ddx = jnp.maximum(
+                jnp.maximum(bb_ref[i, 0] - qx, qx - bb_ref[i, 3]), 0.0
+            )
+            ddy = jnp.maximum(
+                jnp.maximum(bb_ref[i, 1] - qy, qy - bb_ref[i, 4]), 0.0
+            )
+            ddz = jnp.maximum(
+                jnp.maximum(bb_ref[i, 2] - qz, qz - bb_ref[i, 5]), 0.0
+            )
+            need = jnp.any(ddx * ddx + ddy * ddy + ddz * ddz <= nbr2)
 
-        return carry
+            @pl.when(need)
+            def _():
+                t, denom, dist2, r2, _, _, _, cx, cy, cz, _ = _disk_chunk(
+                    get_block(i), i, pt, ox, oy, oz, dx, dy, dz, stick_ref,
+                    False,
+                )
+                cdx = cx - qx
+                cdy = cy - qy
+                cdz = cz - qz
+                cd2 = cdx * cdx + cdy * cdy + cdz * cdz
+                # checkLocalIntersection: front-face (dot <= -eps), plane
+                # t > 0 (strict 0, not t_near), in-plane distance < radius
+                nb_ok = (
+                    (denom <= -1e-6)
+                    & (t > 0.0)
+                    & (dist2 < r2)
+                    & (cd2 <= nbr2)
+                )
+                depm = nb_ok | (lane_iota + i * pt == h_lane_m)
+                dep = jnp.sum(depm.astype(jnp.float32) * wdep, axis=0)
+                flux_ref[pl.ds(i, 1), :] += dep[None, :]
 
-    jax.lax.fori_loop(0, npad // pt, dep_body, 0)
+            return carry
 
-    # reflection direction (uniforms mirror physics/reflection.py)
+        jax.lax.fori_loop(0, npad // pt, dep_body, 0)
+    elif is_disk:  # "window" (GPU candidate-window semantics)
+        tlim = jnp.where(collide, t_geo + tau, -BIG)
+
+        def dep_body(i, carry):
+            tlo, thi = chunk_slab(i)
+            need = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo <= tlim))
+
+            @pl.when(need)
+            def _():
+                tt, *_ = hit_test(i)
+                # inclusive: the primary hit (t == t_geo) always deposits,
+                # even with a zero window
+                depm = tt <= tlim
+                dep = jnp.sum(depm.astype(jnp.float32) * wdep, axis=0)
+                flux_ref[pl.ds(i, 1), :] += dep[None, :]
+
+            return carry
+
+        jax.lax.fori_loop(0, npad // pt, dep_body, 0)
+    else:  # triangle: single closest hit (rayTraceKernel.hpp:301-307)
+
+        def dep_body(i, carry):
+            lo = i * pt
+            need = jnp.any((h_lane_m >= lo) & (h_lane_m < lo + pt))
+
+            @pl.when(need)
+            def _():
+                depm = lane_iota + lo == h_lane_m
+                dep = jnp.sum(depm.astype(jnp.float32) * wdep, axis=0)
+                flux_ref[pl.ds(i, 1), :] += dep[None, :]
+
+            return carry
+
+        jax.lax.fori_loop(0, npad // pt, dep_body, 0)
+
+    # ---- reflection direction (uniforms mirror physics/reflection.py) ----
+    u1, u2, u3 = u[0], u[1], u[2]
     if refl_kind == ReflectionKind.DIFFUSE:
         z = 1.0 - 2.0 * u1
-        phi = 6.2831853071795864769 * u2
+        phi = TWO_PI * u2
         r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
         sx = r * jnp.cos(phi) + nhx
         sy = r * jnp.sin(phi) + nhy
@@ -288,7 +505,8 @@ def _one_bounce(
         norm = jnp.sqrt(sx * sx + sy * sy + sz * sz)
         inv_n = 1.0 / jnp.maximum(norm, 1e-12)
         rdx, rdy, rdz = sx * inv_n, sy * inv_n, sz * inv_n
-    else:  # SPECULAR: d' = 2 (n . -d) n - (-d)
+    elif refl_kind == ReflectionKind.SPECULAR:
+        # d' = 2 (n . -d) n + d
         dp = -(dx * nhx + dy * nhy + dz * nhz)
         rdx = 2.0 * dp * nhx + dx
         rdy = 2.0 * dp * nhy + dy
@@ -298,6 +516,45 @@ def _one_bounce(
             nrm2 = jnp.sqrt(rdx * rdx + rdy * rdy)
             inv_n = 1.0 / jnp.maximum(nrm2, 1e-12)
             rdx, rdy = rdx * inv_n, rdy * inv_n
+    else:  # CONED_COSINE (ref: rayReflection.hpp:54-122); u1 = theta
+        theta = u1
+        # specular direction w, normalized
+        dp = -(dx * nhx + dy * nhy + dz * nhz)
+        wx = 2.0 * dp * nhx + dx
+        wy = 2.0 * dp * nhy + dy
+        wz = 2.0 * dp * nhz + dz
+        wn = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+        inv_wn = 1.0 / jnp.maximum(wn, 1e-12)
+        wx, wy, wz = wx * inv_wn, wy * inv_wn, wz * inv_wn
+        # Frisvad ONB (matches ops/vec.frisvad_basis)
+        degen = wz < -0.999999
+        a = 1.0 / jnp.where(degen, 1.0, 1.0 + wz)
+        fbx = -wx * wy * a
+        tx = jnp.where(degen, 0.0, 1.0 - wx * wx * a)
+        ty = jnp.where(degen, -1.0, fbx)
+        tz = jnp.where(degen, 0.0, -wx)
+        bx = jnp.where(degen, -1.0, fbx)
+        by = jnp.where(degen, 0.0, 1.0 - wy * wy * a)
+        bz = jnp.where(degen, 0.0, -wy)
+        sin_t = jnp.sin(theta)
+        cos_t = jnp.cos(theta)
+        phi = TWO_PI * u2
+        sin_p = jnp.sin(phi)
+        cos_p = jnp.cos(phi)
+        rdx = sin_t * (cos_p * tx + sin_p * bx) + cos_t * wx
+        rdy = sin_t * (cos_p * ty + sin_p * by) + cos_t * wy
+        rdz = sin_t * (cos_p * tz + sin_p * bz) + cos_t * wz
+        # hemisphere fix-up (rayReflection.hpp:108-111)
+        dpn = rdx * nhx + rdy * nhy + rdz * nhz
+        flip = dpn <= 0.0
+        rdx = jnp.where(flip, rdx - 2.0 * dpn * nhx, rdx)
+        rdy = jnp.where(flip, rdy - 2.0 * dpn * nhy, rdy)
+        rdz = jnp.where(flip, rdz - 2.0 * dpn * nhz, rdz)
+        if dim == 2:
+            rdz = jnp.zeros((rt, 1), jnp.float32)
+        nrm = jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
+        inv_n = 1.0 / jnp.maximum(nrm, 1e-12)
+        rdx, rdy, rdz = rdx * inv_n, rdy * inv_n, rdz * inv_n
 
     sticking = stk_hit if per_mat else stick_ref[0, 0]
     new_weight = weight - weight * sticking
@@ -326,6 +583,13 @@ def _one_bounce(
     gdx = jnp.where(survived, rdx, new_d[0])
     gdy = jnp.where(survived, rdy, new_d[1])
     gdz = jnp.where(survived, rdz, new_d[2])
+    if mfp > 0.0:
+        fx = jnp.where(scat, scx, fx)
+        fy = jnp.where(scat, scy, fy)
+        fz = jnp.where(scat, scz, fz)
+        gdx = jnp.where(scat, sdx, gdx)
+        gdy = jnp.where(scat, sdy, gdy)
+        gdz = jnp.where(scat, sdz, gdz)
 
     weight_out = jnp.where(collide, new_weight, weight)
     hfb_out = hfb | bf_pass
@@ -340,6 +604,7 @@ def _one_bounce(
         jnp.where(is_wall, 1.0, 0.0),
         jnp.where(is_exit, 1.0, 0.0),
         jnp.where(alive, 1.0, 0.0),
+        jnp.where(scat, 1.0, 0.0),
     )
     new_state = (
         fx, fy, fz, gdx, gdy, gdz, weight_out, w0, alive_out, hfb_out,
@@ -352,11 +617,31 @@ def _bounce_kernel(
     org_ref, dir_ref, w_ref, w0_ref, flags_ref, uni_ref, prims_ref, bb_ref,
     walls_ref, stick_ref,
     org_out, dir_out, w_out, flags_out, stats_out, flux_out,
-    *, n_sub, **kw,
+    *scratch, n_sub, n_uni, pt, stream=False, **kw,
 ):
     o = org_ref[:]  # (RT, 3)
     d = dir_ref[:]
     rt = o.shape[0]
+
+    if stream:
+        # HBM-resident geometry: fetch the chunk into a VMEM scratch slot on
+        # demand. The chunk loops only call get_block when the slab/sphere
+        # wake-up test passes, so coherent ray tiles DMA only the few chunks
+        # around their hits — the streaming analog of BVH descent.
+        chunk_scratch, dma_sem = scratch
+
+        def get_block(i):
+            dma = pltpu.make_async_copy(
+                prims_ref.at[:, pl.ds(i * pt, pt)], chunk_scratch, dma_sem
+            )
+            dma.start()
+            dma.wait()
+            return chunk_scratch[:]
+
+    else:
+
+        def get_block(i):
+            return prims_ref[:, pl.ds(i * pt, pt)]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -371,14 +656,15 @@ def _bounce_kernel(
         flags_ref[:, 2:3],  # n_refl
         flags_ref[:, 3:4],  # n_bdry
     )
-    st = [jnp.zeros((rt, 1), jnp.float32) for _ in range(4)]
+    st = [jnp.zeros((rt, 1), jnp.float32) for _ in range(5)]
     for k in range(n_sub):
-        u1 = uni_ref[:, 3 * k : 3 * k + 1]
-        u2 = uni_ref[:, 3 * k + 1 : 3 * k + 2]
-        u3 = uni_ref[:, 3 * k + 2 : 3 * k + 3]
+        u = tuple(
+            uni_ref[:, n_uni * k + j : n_uni * k + j + 1]
+            for j in range(n_uni)
+        )
         state, stats = _one_bounce(
-            state, u1, u2, u3, prims_ref, bb_ref, walls_ref, stick_ref,
-            flux_out, **kw
+            state, u, get_block, bb_ref, walls_ref, stick_ref,
+            flux_out, pt=pt, **kw
         )
         st = [a + b for a, b in zip(st, stats)]
 
@@ -396,9 +682,10 @@ def _bounce_kernel(
     flags_out[:, 2:3] = n_refl_new
     flags_out[:, 3:4] = n_bdry_new
     zero = st[0] * 0.0
-    for j in range(4):
+    for j in range(5):
         stats_out[:, j : j + 1] = st[j]
-        stats_out[:, 4 + j : 5 + j] = zero
+    for j in range(5, 8):
+        stats_out[:, j : j + 1] = zero
 
 
 @functools.partial(
@@ -406,7 +693,8 @@ def _bounce_kernel(
     static_argnames=(
         "t_near", "rt", "pt", "dim", "first_dir", "second_dir", "ray_axis",
         "bc1", "bc2", "refl_kind", "max_bounces_cfg", "max_bdry", "wthresh",
-        "wrenew", "roulette", "interpret", "n_sub", "per_mat",
+        "wrenew", "roulette", "interpret", "n_sub", "per_mat", "geo_kind",
+        "flux_model", "mfp", "stream",
     ),
 )
 def fused_bounce(
@@ -416,16 +704,25 @@ def fused_bounce(
     bc2=BoundaryCondition.REFLECTIVE,
     refl_kind=ReflectionKind.DIFFUSE, max_bounces_cfg=2**30, max_bdry=1000,
     wthresh=0.1, wrenew=0.3, roulette=True, interpret=False, n_sub=1,
-    per_mat=False,
+    per_mat=False, geo_kind="disk", flux_model="neighbor", mfp=-1.0,
+    stream=False,
 ):
     """Run ``n_sub`` fused bounces for all rays.
 
     org/dirn (R,3); weight/w0 (R,1); flags (R,4) [alive,hfb,n_refl,n_bdry];
-    uniforms (R,3*n_sub); prims (8,Npad); chunk_bbs (C,8); walls (1,8)
-    [lo1 hi1 lo2 hi2 lo_r hi_r tau 0] with tau the deposit window
-    1.1*gridDelta; sticking (1,1) scalar, or (1,Npad) per-prim in SORTED
+    uniforms (R, n_uni*n_sub) with n_uni = 3 (+3 when mfp > 0), columns per
+    sub-bounce [u_refl1|theta, u_refl2, u_roul (, u_scat, u_z, u_phi)];
+    prims (8,Npad) disk SoA or (12,Npad) triangle SoA; chunk_bbs (C,8);
+    walls (1,8) [lo1 hi1 lo2 hi2 lo_r hi_r tau nbr2] with tau the window
+    deposit width 1.1*gridDelta and nbr2 = (2*diskRadius)^2 the neighborhood
+    radius squared; sticking (1,1) scalar, or (1,Npad) per-prim in SORTED
     order when ``per_mat`` (the GPU per-material sticking map,
     rayParticle.hpp:213, resolved per prim on the host side).
+
+    For refl_kind CONED_COSINE the first uniform column per sub-bounce must
+    carry theta samples from ops/sampling.coned_cosine_theta (the limit
+    cases angle<=0 / >=pi/2 must be resolved to SPECULAR/DIFFUSE upstream).
+
     Returns (org', dirn', weight', flags', stats (R,8),
     flux (C, pt) f32 in SORTED prim order summed over all rays and bounces).
     """
@@ -433,15 +730,21 @@ def fused_bounce(
     rt = min(rt, R)
     grid = (R // rt,)
     npad = prims.shape[1]
+    n_uni = 3 + (3 if mfp > 0.0 else 0)
     kernel = functools.partial(
-        _bounce_kernel, n_sub=n_sub, pt=pt, t_near=float(t_near), dim=dim,
+        _bounce_kernel, n_sub=n_sub, n_uni=n_uni, pt=pt, npad=npad,
+        stream=bool(stream), t_near=float(t_near),
+        dim=dim,
         first_dir=first_dir, second_dir=second_dir, ray_axis=ray_axis,
         bc1=BoundaryCondition(bc1), bc2=BoundaryCondition(bc2),
         refl_kind=ReflectionKind(refl_kind),
-        use_skip=npad // pt >= 24,
+        # skip threshold: triangle chunks cost ~2.4x a disk chunk (12 rows,
+        # Moller-Trumbore), so the cheap slab test pays off at fewer chunks
+        use_skip=npad // pt >= (8 if str(geo_kind) != "disk" else 24),
         max_bounces_cfg=float(max_bounces_cfg), max_bdry=float(max_bdry),
         wthresh=float(wthresh), wrenew=float(wrenew), roulette=bool(roulette),
-        per_mat=bool(per_mat),
+        per_mat=bool(per_mat), geo_kind=str(geo_kind),
+        flux_model=str(flux_model), mfp=float(mfp),
     )
     vspec = lambda c: pl.BlockSpec(
         (rt, c), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -449,14 +752,25 @@ def fused_bounce(
     whole = lambda a: pl.BlockSpec(
         a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    if stream:
+        # geometry stays in HBM; one chunk-sized VMEM scratch + DMA semaphore
+        prims_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch_shapes = [
+            pltpu.VMEM((prims.shape[0], pt), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        prims_spec = whole(prims)
+        scratch_shapes = []
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             vspec(3), vspec(3), vspec(1), vspec(1), vspec(4),
-            vspec(3 * n_sub),
-            whole(prims), whole(chunk_bbs), whole(walls), whole(sticking),
+            vspec(n_uni * n_sub),
+            prims_spec, whole(chunk_bbs), whole(walls), whole(sticking),
         ],
+        scratch_shapes=scratch_shapes,
         out_specs=[
             vspec(3), vspec(3), vspec(1), vspec(4), vspec(8),
             pl.BlockSpec(

@@ -35,12 +35,57 @@ PRIM_ROWS = 8
 DEFAULT_PT = 512
 
 
-def pack_disk_prims(points, normals, radii, pad_to=DEFAULT_PT, sort_axis=2):
-    """Host-side SoA packing with source-side-first spatial sort.
+def _morton3(c):
+    """Interleave 3 x 21-bit cell coordinates into a 63-bit Morton code —
+    chunks of consecutive codes are spatially COMPACT blocks, so a ray's
+    slab test prunes all but O(N^(1/3)) chunk AABBs for ANY direction
+    (z-slab ordering only pruned well for near-vertical rays)."""
+    c = c - c.min(axis=0, keepdims=True)
+    c = np.clip(c, 0, (1 << 21) - 1).astype(np.uint64)
 
-    Prims are ordered descending along ``sort_axis`` (the usual trace axis:
-    z in 3D, y in 2D), then by the lateral axes, so early chunks are the ones
-    source rays hit first and later chunks get slab-skipped.
+    def spread(v):
+        v &= np.uint64(0x1FFFFF)
+        v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+        return v
+
+    return (
+        spread(c[:, 0])
+        | (spread(c[:, 1]) << np.uint64(1))
+        | (spread(c[:, 2]) << np.uint64(2))
+    )
+
+
+def _block_order(centers, cell, pad_to, sort_axis):
+    """Morton-compact blocks of ``pad_to`` prims, blocks iterated
+    source-side-first (descending block-max along ``sort_axis`` so early
+    chunks establish t_min for the skip test).
+
+    Returns the permutation original -> packed order.
+    """
+    n = len(centers)
+    if n == 0:
+        return np.zeros((0,), np.int32)
+    c = np.floor(centers / cell).astype(np.int64)
+    order = np.argsort(_morton3(c), kind="stable")
+    n_chunks = -(-n // pad_to)
+    # order blocks by descending max coordinate along the trace axis
+    block_key = np.full((n_chunks,), -np.inf)
+    for b in range(n_chunks):
+        seg = order[b * pad_to : (b + 1) * pad_to]
+        block_key[b] = centers[seg, sort_axis].max()
+    blocks = np.argsort(-block_key, kind="stable")
+    out = np.concatenate(
+        [order[b * pad_to : (b + 1) * pad_to] for b in blocks]
+    )
+    return out.astype(np.int32)
+
+
+def pack_disk_prims(points, normals, radii, pad_to=DEFAULT_PT, sort_axis=2):
+    """Host-side SoA packing: Morton-compact chunks, source-side-first.
 
     Returns (prims (8, Npad) f32, perm (Npad,) int32 sorted->original,
              chunk_bboxes (n_chunks, 8) f32 [xmin ymin zmin xmax ymax zmax 0 0]).
@@ -52,14 +97,7 @@ def pack_disk_prims(points, normals, radii, pad_to=DEFAULT_PT, sort_axis=2):
 
     if n > 0:
         cell = max(float(radii.max()) * 8.0, 1e-6)
-        c = np.floor(points / cell).astype(np.int64)
-        lat = [a for a in range(3) if a != sort_axis]
-        key = (
-            -c[:, sort_axis] * (1 << 42)
-            + c[:, lat[0]] * (1 << 21)
-            + c[:, lat[1]]
-        )
-        order = np.argsort(key, kind="stable").astype(np.int32)
+        order = _block_order(points, cell, pad_to, sort_axis)
     else:
         order = np.zeros((0,), np.int32)
 
@@ -170,14 +208,18 @@ def _kernel(org_ref, dir_ref, prims_ref, bb_ref, tmin_ref, idx_ref, *, pt,
     idx_ref[:] = idx
 
 
-TRI_ROWS = 9
+TRI_ROWS = 12
 
 
-def pack_triangle_prims(vertices, triangles, pad_to=DEFAULT_PT, sort_axis=2):
-    """SoA triangle packing: rows [v0(3) e1(3) e2(3)] -> (9, Npad), spatially
-    sorted source-side-first like the disk packing.
+def pack_triangle_prims(vertices, triangles, normals=None, pad_to=DEFAULT_PT,
+                        sort_axis=2):
+    """SoA triangle packing: rows [v0(3) e1(3) e2(3) n(3)] -> (12, Npad),
+    spatially sorted source-side-first like the disk packing. Rows 9-11 carry
+    the STORED unit normals (user orientation may differ from cross(e1,e2));
+    when ``normals`` is None they are computed from the edge cross product
+    (the geometry builder's default, rayGeometryTriangle.hpp:57-75).
 
-    Returns (prims (9, Npad), perm (Npad,) int32, chunk_bboxes (n_chunks, 8)).
+    Returns (prims (12, Npad), perm (Npad,) int32, chunk_bboxes (n_chunks, 8)).
     """
     vertices = np.asarray(vertices, np.float32)
     triangles = np.asarray(triangles, np.int64)
@@ -185,18 +227,17 @@ def pack_triangle_prims(vertices, triangles, pad_to=DEFAULT_PT, sort_axis=2):
     v0 = vertices[triangles[:, 0]]
     v1 = vertices[triangles[:, 1]]
     v2 = vertices[triangles[:, 2]]
+    if normals is None:
+        cr = np.cross(v1 - v0, v2 - v0)
+        ln = np.linalg.norm(cr, axis=1, keepdims=True)
+        normals = cr / np.where(ln > 0, ln, 1.0)
+    else:
+        normals = np.asarray(normals, np.float32).reshape(-1, 3)
 
     if n > 0:
         centroid = (v0 + v1 + v2) / 3.0
         scale = max(float(np.abs(v1 - v0).max()), 1e-6) * 4.0
-        c = np.floor(centroid / scale).astype(np.int64)
-        lat = [a for a in range(3) if a != sort_axis]
-        key = (
-            -c[:, sort_axis] * (1 << 42)
-            + c[:, lat[0]] * (1 << 21)
-            + c[:, lat[1]]
-        )
-        order = np.argsort(key, kind="stable").astype(np.int32)
+        order = _block_order(centroid, scale, pad_to, sort_axis)
     else:
         order = np.zeros((0,), np.int32)
 
@@ -206,6 +247,7 @@ def pack_triangle_prims(vertices, triangles, pad_to=DEFAULT_PT, sort_axis=2):
     out[0:3, :n] = v0s.T
     out[3:6, :n] = (v1s - v0s).T
     out[6:9, :n] = (v2s - v0s).T
+    out[9:12, :n] = normals[order].T
     out[0:3, n:] = 1e18  # far-away padding; zero edges -> det==0 -> invalid
 
     perm = np.zeros((npad,), np.int32)
@@ -344,7 +386,7 @@ def triangle_nearest_hit_pallas(
             pl.BlockSpec((rt, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (TRI_ROWS, prims.shape[1]),
+                (prims.shape[0], prims.shape[1]),
                 lambda i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),

@@ -45,7 +45,7 @@ from ..config import (
     TraceConfig,
     get_trace_settings,
 )
-from ..ops import grid_traverse, intersect, pallas_bounce, pallas_intersect
+from ..ops import grid_traverse, intersect, pallas_bounce, pallas_intersect, sampling
 from ..ops.intersect import BIG
 
 # event codes
@@ -272,7 +272,8 @@ def trace_batch(
             geo_type in ("disk", "triangle")
             and not differentiable
             and getattr(geometry, "prims_soa", None) is not None
-            and geometry.prims_soa.shape[1] <= 262144
+            and geometry.prims_soa.shape[0] * geometry.prims_soa.shape[1]
+            * 4 <= pallas_bounce.SOA_VMEM_BUDGET
             and jax.default_backend() == "tpu"
             and Rb % 512 == 0
         )
@@ -597,31 +598,64 @@ def trace_batch(
         )
 
     # ---- fused megakernel eligibility (see ops/pallas_bounce.py) --------
+    soa_ok = (
+        getattr(geometry, "prims_soa", None) is not None
+        and getattr(geometry, "soa_inv_perm", None) is not None
+    )
+    if soa_ok:
+        soa_bytes = (
+            geometry.prims_soa.shape[0] * geometry.prims_soa.shape[1] * 4
+        )
+        fits_vmem = soa_bytes <= pallas_bounce.SOA_VMEM_BUDGET
+        # HBM-streamed path (Embree-scale geometries): the in-kernel flux
+        # block (npad * 4 bytes) must still fit VMEM; per-material sticking
+        # would need a second streamed table — falls back instead.
+        can_stream = (
+            geometry.prims_soa.shape[1] * 4 <= pallas_bounce.SOA_VMEM_BUDGET
+            and particle.material_sticking is None
+        )
+    else:
+        fits_vmem = can_stream = False
     use_fused = (
-        geo_type == "disk"
+        geo_type in ("disk", "triangle")
         and not differentiable
         and collision_fn is None
         and reflection_fn is None
         and aux_init_fn is None
-        and particle.mean_free_path <= 0.0
         and not config.use_wdist
         and ReflectionKind(particle.reflection_kind)
-        in (ReflectionKind.DIFFUSE, ReflectionKind.SPECULAR)
-        and getattr(geometry, "prims_soa", None) is not None
-        and getattr(geometry, "soa_inv_perm", None) is not None
-        and geometry.prims_soa.shape[1] <= 262144
+        in (
+            ReflectionKind.DIFFUSE,
+            ReflectionKind.SPECULAR,
+            ReflectionKind.CONED_COSINE,
+        )
+        and soa_ok
+        and (fits_vmem or can_stream)
         and (
             jax.default_backend() == "tpu"
             or _os.environ.get("VIENNARAY_TPU_FUSED_INTERPRET") == "1"
         )
     )
     if use_fused:
-        # walls layout: [lo1 hi1 lo2 hi2 lo_r hi_r tau 0]; tau is the flux
-        # deposit window 1.1*gridDelta (ref: gpu/raygTrace.hpp:116)
-        tau = jnp.asarray(1.1 * geometry.grid_delta, dtype)
+        # walls layout: [lo1 hi1 lo2 hi2 lo_r hi_r tau nbr2]; tau is the GPU
+        # window-model deposit width 1.1*gridDelta (ref: gpu/raygTrace.hpp:116)
+        # and nbr2 = (2*diskRadius)^2 the neighborhood radius squared used by
+        # the default neighbor-list flux model (ref: rayGeometryDisk.hpp:97-98)
+        if geo_type == "disk":
+            tau = jnp.asarray(1.1 * geometry.grid_delta, dtype)
+            nbr2 = jnp.asarray((2.0 * geometry.disk_radius) ** 2, dtype)
+        else:
+            tau = jnp.zeros((), dtype)
+            nbr2 = jnp.zeros((), dtype)
         walls = jnp.stack(
-            [lo1, hi1, lo2, hi2, lo_r, hi_r, tau, jnp.zeros((), dtype)]
+            [lo1, hi1, lo2, hi2, lo_r, hi_r, tau, nbr2]
         ).reshape(1, 8).astype(jnp.float32)
+        fused_mfp = float(particle.mean_free_path)
+        fused_refl = ReflectionKind(particle.reflection_kind)
+        n_uni = 3 + (3 if fused_mfp > 0.0 else 0)
+        cone = jnp.clip(
+            particle.cone_angle, 1e-6, jnp.pi / 2 - 1e-6
+        ).astype(jnp.float32)
         if particle.material_sticking is not None:
             # resolve the material table to per-prim sticking in SORTED prim
             # order (padded lanes map to prim 0 — they never produce hits)
@@ -655,23 +689,52 @@ def trace_batch(
                  flux, cnt) = state
                 Rb = org.shape[0]
                 key_b = jax.random.fold_in(batch_key, it + 1)
+                coned = fused_refl == ReflectionKind.CONED_COSINE
                 if n_sub == 1:
-                    _, _, k_refl, k_roul = jax.random.split(key_b, 4)
-                    k1, k2 = jax.random.split(k_refl)
-                    uniforms = jnp.stack(
-                        [
-                            jax.random.uniform(k1, (Rb,), dtype=jnp.float32),
-                            jax.random.uniform(k2, (Rb,), dtype=jnp.float32),
-                            jax.random.uniform(
-                                k_roul, (Rb,), dtype=jnp.float32
-                            ),
-                        ],
-                        axis=1,
+                    k_scat, k_scat_dir, k_refl, k_roul = jax.random.split(
+                        key_b, 4
                     )
+                    if coned:
+                        # mirror reflection.coned_cosine's key schedule:
+                        # split(k_refl, 3) -> (k_theta, k_phi, k_diff)
+                        k_theta, k_phi, _ = jax.random.split(k_refl, 3)
+                        u1 = sampling.coned_cosine_theta(
+                            k_theta, (Rb,), cone, dtype=jnp.float32
+                        )
+                        u2 = jax.random.uniform(
+                            k_phi, (Rb,), dtype=jnp.float32
+                        )
+                    else:
+                        k1, k2 = jax.random.split(k_refl)
+                        u1 = jax.random.uniform(k1, (Rb,), dtype=jnp.float32)
+                        u2 = jax.random.uniform(k2, (Rb,), dtype=jnp.float32)
+                    cols = [
+                        u1, u2,
+                        jax.random.uniform(k_roul, (Rb,), dtype=jnp.float32),
+                    ]
+                    if fused_mfp > 0.0:
+                        # mirror the unfused schedule: u_scat from k_scat,
+                        # sphere point from unit_sphere(k_scat_dir)'s splits
+                        ks1, ks2 = jax.random.split(k_scat_dir)
+                        cols += [
+                            jax.random.uniform(
+                                k_scat, (Rb,), dtype=jnp.float32
+                            ),
+                            jax.random.uniform(ks1, (Rb,), dtype=jnp.float32),
+                            jax.random.uniform(ks2, (Rb,), dtype=jnp.float32),
+                        ]
+                    uniforms = jnp.stack(cols, axis=1)
                 else:
                     uniforms = jax.random.uniform(
-                        key_b, (Rb, 3 * n_sub), dtype=jnp.float32
+                        key_b, (Rb, n_uni * n_sub), dtype=jnp.float32
                     )
+                    if coned:
+                        thetas = sampling.coned_cosine_theta(
+                            jax.random.fold_in(key_b, 0x7E7A), (Rb, n_sub),
+                            cone, dtype=jnp.float32,
+                        )
+                        theta_cols = jnp.arange(n_sub) * n_uni
+                        uniforms = uniforms.at[:, theta_cols].set(thetas)
                 flags = jnp.stack(
                     [
                         alive.astype(jnp.float32),
@@ -689,7 +752,7 @@ def trace_batch(
                         t_near=config.t_near, dim=dim, first_dir=first_dir,
                         second_dir=second_dir, ray_axis=ray_axis,
                         bc1=bc1, bc2=bc2,
-                        refl_kind=ReflectionKind(particle.reflection_kind),
+                        refl_kind=fused_refl,
                         max_bounces_cfg=min(config.max_reflections, 2**30),
                         max_bdry=config.max_boundary_hits,
                         wthresh=config.weight_threshold_frac,
@@ -698,20 +761,26 @@ def trace_batch(
                         interpret=interp,
                         n_sub=n_sub,
                         per_mat=per_mat,
+                        geo_kind=geo_type,
+                        flux_model=config.flux_model,
+                        mfp=fused_mfp,
+                        stream=not fits_vmem,
                     )
                 )
-                # deposits accumulated in-kernel (sorted prim order, GPU
-                # candidate-window neighbor semantics) — unpermute and add
+                # deposits accumulated in-kernel (sorted prim order) —
+                # unpermute and add
                 flux = flux + flux_sorted.reshape(-1)[geometry.soa_inv_perm]
 
-                sums = jnp.sum(stats[:, 0:4], axis=0)  # collide,wall,exit,trc
+                # stats: collide, wall, exit, traces, scatter
+                sums = jnp.sum(stats[:, 0:5], axis=0)
                 cnt = BatchCounters(
                     total_traces=cnt.total_traces + sums[3].astype(jnp.int32),
                     non_geometry_hits=cnt.non_geometry_hits
                     + sums[2].astype(jnp.int32),
                     geometry_hits=cnt.geometry_hits
                     + sums[0].astype(jnp.int32),
-                    particle_hits=cnt.particle_hits,
+                    particle_hits=cnt.particle_hits
+                    + sums[4].astype(jnp.int32),
                     boundary_hits=cnt.boundary_hits
                     + sums[1].astype(jnp.int32),
                     reflections=cnt.reflections + sums[0].astype(jnp.int32),
@@ -806,6 +875,4 @@ def trace_batch(
 
 
 def _unit_sphere_batch(key, n, dtype):
-    from ..ops import sampling
-
     return sampling.unit_sphere(key, (n,), dtype=dtype)
