@@ -103,8 +103,6 @@ def bench_ion():
 
 
 def bench_tri3d():
-    import time
-
     import viennaray_tpu as vrt
     from viennaray_tpu.geometry.mesh import TriangleMesh
     from viennaray_tpu.io import dat
@@ -115,8 +113,6 @@ def bench_tri3d():
         mesh = TriangleMesh(nodes=nodes, triangles=elems, grid_delta=gd)
     else:
         # synthetic trench surface triangulated from the disk grid's extent
-        import numpy as np
-
         n = 40
         xs = np.linspace(-5.0, 5.0, n + 1)
         vv, uu = np.meshgrid(xs, xs, indexing="ij")

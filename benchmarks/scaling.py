@@ -48,7 +48,7 @@ config = TraceConfig(
     dim=3, num_rays_fixed=total_rays,
     source_direction=vrt.TraceDirection.POS_Z,
     boundary_conditions=(vrt.BoundaryCondition.PERIODIC,) * 3,
-    ray_batch_size=max(512, total_rays // (8 * n_dev)),
+    ray_batch_size=8192,  # FIXED across device counts (RNG contract)
     rng_seed=7, use_random_seed=False, max_bounces=600,
 )
 bbox = adjust_bounding_box(np.asarray(geometry.bbox),
@@ -106,10 +106,15 @@ def main():
             r["efficiency_vs_1dev"] = round(
                 r["rays_per_s"] / (base["rays_per_s"] * r["devices"]), 3
             )
-        checks = {r["flux_checksum"] for r in rows}
+        checks = [r["flux_checksum"] for r in rows]
+        spread = (max(checks) - min(checks)) / max(abs(max(checks)), 1e-9)
+        # cross-device-count flux agreement is up to f32 psum reduction
+        # order (see parallel/mesh.py RNG contract); bitwise holds per count
+        consistent = spread < 1e-5
         result = {
             "rows": rows,
-            "flux_identical_across_device_counts": len(checks) == 1,
+            "flux_rel_spread_across_device_counts": spread,
+            "flux_consistent_across_device_counts": consistent,
             "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
             "note": "virtual CPU mesh — validates mechanics + determinism, "
                     "not ICI bandwidth",
@@ -117,7 +122,8 @@ def main():
         with open(os.path.join(HERE, "scaling.json"), "w") as f:
             json.dump(result, f, indent=2)
         print(json.dumps({
-            "flux_identical_across_device_counts": len(checks) == 1
+            "flux_consistent_across_device_counts": consistent,
+            "flux_rel_spread": spread,
         }))
 
 

@@ -239,6 +239,32 @@ def test_coned_cosine_kernel_arithmetic_exact():
     )
 
 
+def test_line_fused_matches_unfused(monkeypatch, cfg2d):
+    """2D line segments through the fused megakernel == the unfused XLA
+    path (the GPU line pipeline's cross-product test,
+    GeneralPipelineLine.cu:19-49; single-hit deposit, backface kill)."""
+    seg = 0.15
+    xs = np.arange(-2.0, 2.0 + 1e-9, seg)
+    nodes = np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], axis=1)
+    lines = np.stack(
+        [np.arange(len(xs) - 1), np.arange(1, len(xs))], axis=1
+    ).astype(np.uint32)
+    mesh = vrt.LineMesh(
+        nodes=nodes.astype(np.float32), lines=lines, grid_delta=seg
+    )
+    from viennaray_tpu.geometry.line_geometry import LineGeometry
+
+    geo = LineGeometry.from_mesh(mesh)
+    p = vrt.DiffuseParticle(0.4)
+    _force_fused(monkeypatch, False)
+    f_ref, c_ref = _trace_once(geo, "line", cfg2d, p)
+    assert f_ref.sum() > 0
+    _force_fused(monkeypatch, True)
+    f_fused, c_fused = _trace_once(geo, "line", cfg2d, p)
+    rel = np.linalg.norm(f_fused - f_ref) / np.linalg.norm(f_ref)
+    assert rel < 5e-3, rel
+
+
 def test_window_flux_model_optin(monkeypatch, cfg2d):
     """flux_model='window' selects the GPU candidate-window deposits
     (GeneralPipelineDisk.cu:51-59,86-93) — more deposits than neighbor mode

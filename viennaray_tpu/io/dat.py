@@ -39,8 +39,25 @@ def read_mesh_from_file(path: str, dim: int):
     for i in range(num_nodes):
         assert next(it) == "n"
         nodes[i] = [float(next(it)), float(next(it)), float(next(it))]
+    # Tolerate headers that overstate the element count (the reference's own
+    # lineMesh.dat says 130 but contains 129; the reference reader's asserts
+    # compile out in Release and the stream just stops, rayUtil.hpp:404-409)
     elements = np.zeros((num_elements, dim), np.uint32)
+    count = num_elements
     for i in range(num_elements):
-        assert next(it) == "e"
+        try:
+            tok = next(it)
+        except StopIteration:
+            count = i
+            break
+        assert tok == "e"
         elements[i] = [int(next(it)) for _ in range(dim)]
+    if count != num_elements:
+        import warnings
+
+        warnings.warn(
+            f"{path}: header declares {num_elements} elements, file has "
+            f"{count}; truncating"
+        )
+        elements = elements[:count]
     return grid_delta, nodes, elements

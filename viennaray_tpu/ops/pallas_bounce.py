@@ -170,6 +170,36 @@ def _tri_chunk(block, i, pt, ox, oy, oz, dx, dy, dz, stick_ref, per_mat,
     return t, valid, nx, ny, nz, stk
 
 
+def _line_chunk(block, i, pt, ox, oy, dx, dy, stick_ref, per_mat, t_near):
+    """2D ray/segment cross-product test with endpoint eps clip
+    (ref: GeneralPipelineLine.cu:19-49). ``block``: (6, pt) rows
+    [p0x p0y ldx ldy nx ny]. Returns (t, valid, nx, ny, stk)."""
+    p0x = block[0:1, :]
+    p0y = block[1:2, :]
+    lx = block[2:3, :]
+    ly = block[3:4, :]
+    nx = block[4:5, :]
+    ny = block[5:6, :]
+    sl = pl.ds(i * pt, pt)
+
+    denom = dx * ly - dy * lx
+    dsafe = jnp.where(denom == 0.0, 1e-30, denom)
+    r0 = pl.reciprocal(dsafe, approx=True)
+    r0 = r0 * (2.0 - dsafe * r0)
+    wx = p0x - ox
+    wy = p0y - oy
+    t = (wx * ly - wy * lx) * r0
+    s = (wx * dy - wy * dx) * r0
+    valid = (
+        (denom != 0.0)
+        & (t > t_near)
+        & (s > 1e-5)
+        & (s < 1.0 - 1e-5)
+    )
+    stk = stick_ref[0, sl][None, :] if per_mat else None
+    return t, valid, nx, ny, stk
+
+
 def _one_bounce(
     state, u, get_block, bb_ref, walls_ref, stick_ref, flux_ref,
     *, pt, npad, t_near, dim, first_dir, second_dir, ray_axis, bc1, bc2,
@@ -221,6 +251,13 @@ def _one_bounce(
                 per_mat,
             )
             valid = (denom != 0.0) & (t > t_near) & (dist2 < r2)
+        elif geo_kind == "line":
+            t, valid, nx, ny, stk = _line_chunk(
+                get_block(i), i, pt, ox, oy, dx, dy, stick_ref, per_mat,
+                t_near,
+            )
+            nz = jnp.zeros_like(nx)
+            cx = cy = cz = None
         else:
             t, valid, nx, ny, nz, stk = _tri_chunk(
                 get_block(i), i, pt, ox, oy, oz, dx, dy, dz, stick_ref,

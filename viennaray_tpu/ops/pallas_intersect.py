@@ -267,6 +267,60 @@ def pack_triangle_prims(vertices, triangles, normals=None, pad_to=DEFAULT_PT,
     return out, perm, bbs
 
 
+LINE_ROWS = 6
+
+
+def pack_line_prims(p0, p1, normals, pad_to=DEFAULT_PT, sort_axis=1):
+    """SoA 2D line-segment packing: rows [p0x p0y ldx ldy nx ny] -> (6, Npad)
+    in Morton-compact source-side-first chunk order (parity with the GPU
+    line pipeline's custom prims, gpu/raygLineGeometry.hpp).
+
+    Returns (prims (6, Npad), perm (Npad,), chunk_bboxes (n_chunks, 8)); the
+    chunk boxes are z-inflated by +-1 so the 3D slab test never sees a
+    degenerate interval (line geometry is strictly 2D, z = 0).
+    """
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    normals = np.asarray(normals, np.float32)
+    n = len(p0)
+
+    if n > 0:
+        mid = 0.5 * (p0 + p1)
+        seg = max(float(np.linalg.norm((p1 - p0)[:, :2], axis=1).max()), 1e-6)
+        order = _block_order(mid, seg * 8.0, pad_to, sort_axis)
+    else:
+        order = np.zeros((0,), np.int32)
+
+    p0s, p1s, nrm_s = p0[order], p1[order], normals[order]
+    npad = -(-max(n, 1) // pad_to) * pad_to
+    out = np.zeros((LINE_ROWS, npad), np.float32)
+    out[0, :n] = p0s[:, 0]
+    out[1, :n] = p0s[:, 1]
+    out[2, :n] = (p1s - p0s)[:, 0]
+    out[3, :n] = (p1s - p0s)[:, 1]
+    out[4, :n] = nrm_s[:, 0]
+    out[5, :n] = nrm_s[:, 1]
+    out[0:2, n:] = 1e18  # far padding; zero line dir -> denom == 0 -> invalid
+
+    perm = np.zeros((npad,), np.int32)
+    perm[:n] = order
+
+    n_chunks = npad // pad_to
+    bbs = np.full((n_chunks, 8), 1e18, np.float32)
+    for ci in range(n_chunks):
+        lo = ci * pad_to
+        hi = min(lo + pad_to, n)
+        if hi <= lo:
+            continue
+        allv = np.concatenate([p0s[lo:hi], p1s[lo:hi]])
+        bbs[ci, 0:3] = allv.min(axis=0)
+        bbs[ci, 3:6] = allv.max(axis=0)
+        bbs[ci, 2] -= 1.0
+        bbs[ci, 5] += 1.0
+        bbs[ci, 6:8] = 0.0
+    return out, perm, bbs
+
+
 def _tri_kernel(org_ref, dir_ref, prims_ref, bb_ref, tmin_ref, idx_ref, *,
                 pt, t_near, use_skip=True):
     o = org_ref[:]

@@ -55,17 +55,26 @@ def trace_batch_sharded(
     mesh: Mesh,
     differentiable: bool = False,
     num_bounces: Optional[int] = None,
+    sub_batch_start=0,
 ):
     """Trace one global mega-batch sharded over the mesh's ``rays`` axis.
 
     ray_indices/valid: (R_global,) with R_global divisible by mesh size.
     Returns replicated (flux (N,), counters) — flux is psum-reduced, the
     deterministic-collective analog of the reference's thread merge.
+
+    RNG contract: ``batch_key`` is the run's BASE key and
+    ``sub_batch_start`` the global index of this mega-batch's first
+    device-sized sub-batch; shard s uses fold_in(base, start + s). Each
+    shard therefore reproduces exactly the stream a single-device run with
+    the same ``ray_batch_size`` would use for that sub-batch, so flux is
+    invariant across device counts up to f32 reduction order (and bitwise
+    reproducible for a fixed count) — the tests/rngSeed analog.
     """
 
     def shard_fn(ray_idx_local, valid_local):
         shard = jax.lax.axis_index("rays")
-        key = jax.random.fold_in(batch_key, shard)
+        key = jax.random.fold_in(batch_key, sub_batch_start + shard)
         flux, counters = trace_batch(
             geometry, source, particle, bbox, key, ray_idx_local, valid_local,
             config, geo_type, differentiable=differentiable,
@@ -123,9 +132,12 @@ def trace_sharded(
         ray_indices = jnp.arange(b * per_batch, (b + 1) * per_batch,
                                  dtype=jnp.int32)
         valid = ray_indices < total_rays
-        batch_key = jax.random.fold_in(base_key, b)
+        # base key + global sub-batch start: shard s of mega-batch b runs
+        # the stream of single-device batch (b*n_dev + s) — see
+        # trace_batch_sharded's RNG contract
         f, counters = jitted(
-            geometry, source, particle, bbox, batch_key, ray_indices, valid
+            geometry, source, particle, bbox, base_key, ray_indices, valid,
+            sub_batch_start=jnp.int32(b * n_dev),
         )
         flux = flux + f
         totals += np.array([int(c) for c in counters], np.int64)

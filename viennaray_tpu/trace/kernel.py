@@ -617,7 +617,7 @@ def trace_batch(
     else:
         fits_vmem = can_stream = False
     use_fused = (
-        geo_type in ("disk", "triangle")
+        geo_type in ("disk", "triangle", "line")
         and not differentiable
         and collision_fn is None
         and reflection_fn is None
