@@ -83,9 +83,31 @@ def bench_disk18k():
 
 
 def bench_disk1m():
-    # fine grid -> ~1M disks; rays_per_point kept small so the run is minutes
-    pts, nrm = _trench3d(0.016, extent=5.0, width=4.0, depth=4.0)
-    return _run_disk(pts, nrm, 0.016, 3, 4)
+    # fine grid -> ~1M disks: the HBM-streamed megakernel path. Skip the
+    # host-side neighbor pack (~600 MB) and grid accel — only the unfused
+    # path consumes them.
+    import jax.numpy as jnp
+
+    import viennaray_tpu as vrt
+    from viennaray_tpu.geometry.disk_geometry import DiskGeometry
+
+    gd = 0.016
+    pts, nrm = _trench3d(gd, extent=5.0, width=4.0, depth=4.0)
+    t = vrt.TraceDisk(dim=3)
+    t.geometry = DiskGeometry.build(
+        pts, nrm, gd, dim=3, accel=False, pack_neighbors=False
+    )
+    t.set_boundary_conditions([vrt.BoundaryCondition.PERIODIC] * 3)
+    t.set_particle_type(vrt.DiffuseParticle(0.1, "flux"))
+    t.set_number_of_rays_per_point(4)
+    t.set_rng_seed(42)
+    t.apply()
+    t0 = time.perf_counter()
+    flux = t.apply()
+    host = np.asarray(flux)
+    dt = time.perf_counter() - t0
+    info = t.get_ray_trace_info()
+    return info.num_rays / dt, dt, info, float(host.sum())
 
 
 def bench_ion():

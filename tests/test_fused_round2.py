@@ -285,3 +285,65 @@ def test_window_flux_model_optin(monkeypatch, cfg2d):
 def test_flux_model_validation():
     with pytest.raises(ValueError):
         TraceConfig(flux_model="bogus")
+
+
+def test_streamed_kernel_matches_resident_bitwise():
+    """HBM-streamed geometry (stream=True: chunks DMA'd into VMEM scratch on
+    demand) must be BITWISE equal to the VMEM-resident kernel — same
+    arithmetic, different data movement."""
+    pts, nrm = fixtures.create_trench_grid_3d(
+        grid_delta=0.5, extent=3.0, trench_width=2.0, trench_depth=2.0
+    )
+    geo = vrt.DiskGeometry.build(pts, nrm, grid_delta=0.5)
+    R = 256
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    org = jnp.stack(
+        [
+            jax.random.uniform(k1, (R,), minval=-2.0, maxval=2.0),
+            jax.random.uniform(k2, (R,), minval=-2.0, maxval=2.0),
+            jnp.full((R,), 3.5),
+        ],
+        axis=1,
+    )
+    dirn = jnp.tile(jnp.asarray([[0.1, 0.0, -0.99]]), (R, 1))
+    dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
+    w = jnp.ones((R, 1), jnp.float32)
+    flags = jnp.concatenate(
+        [jnp.ones((R, 1)), jnp.zeros((R, 3))], axis=1
+    ).astype(jnp.float32)
+    uni = jax.random.uniform(k3, (R, 3), dtype=jnp.float32)
+    walls = jnp.asarray(
+        [[-3.25, 3.25, -3.25, 3.25, -2.0, 3.6, 0.55, 0.75]], jnp.float32
+    )
+    stick = jnp.asarray([[0.3]], jnp.float32)
+    kw = dict(
+        t_near=1e-4, dim=3, first_dir=0, second_dir=1, ray_axis=2,
+        bc1=BoundaryCondition.PERIODIC, bc2=BoundaryCondition.PERIODIC,
+        refl_kind=ReflectionKind.DIFFUSE, interpret=True, n_sub=1,
+    )
+    args = (org, dirn, w, w, flags, uni, geo.prims_soa, geo.soa_chunk_bbs,
+            walls, stick)
+    out_res = pallas_bounce.fused_bounce(*args, stream=False, **kw)
+    out_str = pallas_bounce.fused_bounce(*args, stream=True, **kw)
+    for i, (a, b) in enumerate(zip(out_res, out_str)):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"output {i}"
+        )
+    assert float(np.asarray(out_res[5]).sum()) > 0.0
+
+
+def test_light_geometry_build_runs_fused(monkeypatch, cfg2d):
+    """pack_neighbors=False / accel=False (the Embree-scale build) still
+    traces through the fused path and matches the full build's flux."""
+    pts, nrm = fixtures.create_trench_grid_2d(grid_delta=0.1)
+    full = vrt.DiskGeometry.build(pts, nrm, 0.1, dim=2)
+    light = vrt.DiskGeometry.build(
+        pts, nrm, 0.1, dim=2, accel=False, pack_neighbors=False
+    )
+    assert light.neighbor_pack is None and light.grid is None
+    p = vrt.DiffuseParticle(0.1)
+    _force_fused(monkeypatch, True)
+    f_full, _ = _trace_once(full, "disk", cfg2d, p, R=1024)
+    f_light, _ = _trace_once(light, "disk", cfg2d, p, R=1024)
+    np.testing.assert_array_equal(f_full, f_light)

@@ -79,11 +79,18 @@ class DiskGeometry:
         material_ids=None,
         dtype=jnp.float32,
         accel: bool = True,
+        pack_neighbors: bool = True,
     ) -> "DiskGeometry":
         """Host-side construction (ref: rayGeometryDisk.hpp:initGeometry).
 
         In 2D the z coordinate of points and normals is zeroed
         (ref: rayGeometryDisk.hpp:49-51,68-69).
+
+        ``pack_neighbors=False`` skips the (N, K*8) packed neighbor records
+        (~600 MB host RAM at 1M prims). Only the UNFUSED trace path consumes
+        them — the fused megakernel re-derives the neighbor set in-kernel —
+        so Embree-scale geometries should build with it off (and usually
+        ``accel=False`` too; the streamed megakernel replaces the grid DDA).
         """
         points = np.asarray(points, np.float32).reshape(-1, 3).copy()
         normals = np.asarray(normals, np.float32).reshape(-1, 3).copy()
@@ -135,13 +142,15 @@ class DiskGeometry:
         inv_perm = np.zeros((n,), np.int32)
         inv_perm[soa_perm[:n]] = np.arange(n, dtype=np.int32)
 
-        k = nbrs.shape[1]
-        cl = np.clip(nbrs, 0, None)
-        pack = np.zeros((n, k, 8), np.float32)
-        pack[:, :, 0:3] = points[cl]
-        pack[:, :, 3:6] = normals[cl]
-        pack[:, :, 6] = radii_arr[cl]
-        pack[:, :, 7] = (nbrs >= 0).astype(np.float32)
+        pack = None
+        if pack_neighbors:
+            k = nbrs.shape[1]
+            cl = np.clip(nbrs, 0, None)
+            pack = np.zeros((n, k, 8), np.float32)
+            pack[:, :, 0:3] = points[cl]
+            pack[:, :, 3:6] = normals[cl]
+            pack[:, :, 6] = radii_arr[cl]
+            pack[:, :, 7] = (nbrs >= 0).astype(np.float32)
 
         return cls(
             points=jnp.asarray(points, dtype),
@@ -156,7 +165,9 @@ class DiskGeometry:
             soa_perm=jnp.asarray(soa_perm),
             soa_chunk_bbs=jnp.asarray(soa_bbs),
             soa_inv_perm=jnp.asarray(inv_perm),
-            neighbor_pack=jnp.asarray(pack.reshape(n, k * 8)),
+            neighbor_pack=None if pack is None else jnp.asarray(
+                pack.reshape(n, -1)
+            ),
             dim=dim,
             grid_delta=float(grid_delta),
             disk_radius=float(disk_radius),

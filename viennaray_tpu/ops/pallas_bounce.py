@@ -271,6 +271,11 @@ def _one_bounce(
     # Tie-break: lowest sorted-lane index within a chunk; across chunks the
     # earliest chunk wins (strict <). Deterministic; matches the reference's
     # "one hit prim" contract (Embree picks one primID per closest hit).
+    # NOTE: selection stays fused into the sweep — a deferred two-pass
+    # variant (min-only sweep + 1-2 chunk re-select) measured SLOWER on v5e
+    # (112.5k vs 136.5k rays/s on the 18k trench) despite fewer nominal ops.
+    # All loop carries are f32 — Mosaic cannot legalize scf.for with i1
+    # vector carries.
     def pick(sel, x):
         return jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
 
@@ -736,7 +741,7 @@ def _bounce_kernel(
 )
 def fused_bounce(
     org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs, walls, sticking,
-    t_near=1e-4, rt=256, pt=512, dim=3, first_dir=0, second_dir=1,
+    t_near=1e-4, rt=None, pt=512, dim=3, first_dir=0, second_dir=1,
     ray_axis=2, bc1=BoundaryCondition.REFLECTIVE,
     bc2=BoundaryCondition.REFLECTIVE,
     refl_kind=ReflectionKind.DIFFUSE, max_bounces_cfg=2**30, max_bdry=1000,
@@ -763,7 +768,12 @@ def fused_bounce(
     Returns (org', dirn', weight', flags', stats (R,8),
     flux (C, pt) f32 in SORTED prim order summed over all rays and bounces).
     """
+    import os as _os
+
     R = org.shape[0]
+    if rt is None:
+        # ray-tile width: VPU-register/VMEM-pressure tradeoff, env-tunable
+        rt = int(_os.environ.get("VIENNARAY_TPU_RT", "256"))
     rt = min(rt, R)
     grid = (R // rt,)
     npad = prims.shape[1]
