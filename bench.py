@@ -44,6 +44,8 @@ def main():
 
     t0 = time.perf_counter()
     flux = tracer.apply()
+    np.asarray(flux)  # forced host fetch — block_until_ready does not
+    # synchronize through the axon tunnel (BASELINE.md timing discipline)
     elapsed = time.perf_counter() - t0
     info = tracer.get_ray_trace_info()
     rays_per_s = info.num_rays / elapsed

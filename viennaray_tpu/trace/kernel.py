@@ -822,17 +822,33 @@ def trace_batch(
     # the front (stable argsort — deterministic), and continue at the
     # smaller width. Work becomes ~ total ray-bounces instead of
     # max_bounces x batch.
-    # 16x shrink per stage, floored at 512 (the Pallas ray-tile width): the
+    # 2x shrink per stage, floored at 512 (the Pallas ray-tile width): the
     # long tail — e.g. near-horizontal rays ping-ponging between periodic
     # walls until the max_boundary_hits cap (up to 1000 iterations) — then
-    # runs at minimal width instead of full batch cost.
+    # runs at minimal width instead of full batch cost. Ladder granularity
+    # measured on v5e (18k-disk trench / flagship): shrink=2 -> 231k/571k
+    # rays/s, shrink=4 -> 210k/444k, shrink=16 -> 137k/440k — the finer
+    # ladder sheds dead roulette lanes from the wide stages almost as soon
+    # as they die.
     min_stage = 512
+    shrink = int(_os.environ.get("VIENNARAY_TPU_STAGE_SHRINK", "2"))
     stage_caps = []
     cap = R
     while cap > min_stage:
-        cap //= 16
+        cap //= shrink
         stage_caps.append(max(cap, min_stage))
     stage_caps.append(0)  # final stage: run to extinction
+    # spatial compaction: sort survivors by direction octant + origin cell so
+    # ray tiles stay coherent and the megakernel's per-tile chunk skip keeps
+    # paying after diffuse bounces decohere the source order
+    spatial_sort = (
+        _os.environ.get("VIENNARAY_TPU_COMPACT_SORT", "alive") == "spatial"
+    )
+    if spatial_sort:
+        bb_lo = jnp.stack([bbox[0, 0], bbox[0, 1], bbox[0, 2]])
+        bb_ext = jnp.maximum(
+            jnp.stack([bbox[1, 0], bbox[1, 1], bbox[1, 2]]) - bb_lo, 1e-6
+        )
 
     def n_sub_for(width):
         # Narrow stages are launch-overhead bound (~4 ms fixed per bounce
@@ -863,7 +879,22 @@ def trace_batch(
             break
         (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux, flux,
          counters) = state
-        take = jnp.argsort(jnp.logical_not(alive), stable=True)[:cap]
+        if spatial_sort:
+            cell = jnp.clip(
+                ((org - bb_lo) / bb_ext * 8.0).astype(jnp.int32), 0, 7
+            )
+            octant = (
+                (dirn[:, 0] > 0).astype(jnp.int32)
+                + 2 * (dirn[:, 1] > 0).astype(jnp.int32)
+                + 4 * (dirn[:, 2] > 0).astype(jnp.int32)
+            )
+            key_s = (
+                octant * 512 + cell[:, 0] * 64 + cell[:, 1] * 8 + cell[:, 2]
+            )
+            key_s = jnp.where(alive, key_s, jnp.int32(1 << 30))
+            take = jnp.argsort(key_s, stable=True)[:cap]
+        else:
+            take = jnp.argsort(jnp.logical_not(alive), stable=True)[:cap]
         state = (
             it, org[take], dirn[take], weight[take], w0[take], alive[take],
             hfb[take], n_refl[take], n_bdry[take], aux[take], flux, counters,
