@@ -88,6 +88,9 @@ def main():
             + f" --xla_force_host_platform_device_count={n}"
         ).strip()
         env["VRT_SCALING_CPU"] = "1"
+        # CPU workers skip the shared persistent cache (corruption risk
+        # under concurrent writers; see tests/conftest.py)
+        env["VIENNARAY_TPU_NO_CACHE"] = "1"
         env.setdefault("VRT_SCALING_RAYS", "262144")
         out = subprocess.run(
             [sys.executable, "-c", WORKER % {"repo": REPO}],
