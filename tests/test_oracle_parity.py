@@ -1,0 +1,156 @@
+"""Statistical parity against the independent scalar oracle.
+
+The oracle (tests/oracle_ref.cpp, driven by tests/oracle_ref.py) is a
+from-scratch per-ray C++ implementation of the reference trace semantics
+(rayTraceKernel.hpp:118-341) sharing no code with viennaray_tpu. Flux is
+compared at matched ray counts: the oracle runs twice with different seeds to
+measure its own Monte-Carlo noise, and the cross-implementation distance must
+sit inside that noise band — a shared misreading of the semantics (deposit
+rules, neighbor multi-hit, roulette, boundary handling) would show up as a
+systematic offset well above it. Event-rate accounting (geometry hits,
+boundary hits, reflections per ray) is compared as well.
+"""
+
+import numpy as np
+import pytest
+
+import viennaray_tpu as vrt
+from viennaray_tpu.io import fixtures
+
+from oracle_ref import available, trace_disks_oracle
+
+pytestmark = pytest.mark.skipif(
+    not available(), reason="oracle build unavailable"
+)
+
+BATCH = 32768
+
+
+def _rel_l2(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+
+
+def _run_tpu(pts, nrm, *, dim, grid_delta, sticking, num_rays, boundary,
+             reflection="diffuse", use_wdist=False, seed=42):
+    t = vrt.TraceDisk(dim=dim)
+    t.set_geometry(pts.astype(np.float32), nrm.astype(np.float32), grid_delta)
+    bc = {
+        "reflective": vrt.BoundaryCondition.REFLECTIVE,
+        "periodic": vrt.BoundaryCondition.PERIODIC,
+        "ignore": vrt.BoundaryCondition.IGNORE,
+    }
+    conds = [bc[b] for b in boundary]
+    while len(conds) < dim:
+        conds.append(conds[-1])
+    t.set_boundary_conditions(conds[:dim])
+    if reflection == "specular":
+        t.set_particle_type(vrt.SpecularParticle(sticking, 1.0, "flux"))
+    else:
+        t.set_particle_type(vrt.DiffuseParticle(sticking, "flux"))
+    t.set_source_direction(
+        vrt.TraceDirection.POS_Z if dim == 3 else vrt.TraceDirection.POS_Y
+    )
+    t.set_number_of_rays_fixed(num_rays)
+    t.set_rng_seed(seed)
+    t.set_ray_batch_size(BATCH)
+    t.set_use_wdist(use_wdist)
+    flux = t.apply()
+    return np.asarray(flux, np.float64), t.get_ray_trace_info()
+
+
+def _parity_case(pts, nrm, *, dim, grid_delta, sticking, boundary,
+                 rays_oracle, rays_tpu, reflection="diffuse",
+                 use_wdist=False, noise_cap=0.05):
+    disk_radius = grid_delta * vrt.config.disk_factor(dim)
+    kw = dict(
+        dim=dim, disk_radius=disk_radius, sticking=sticking,
+        boundary=boundary, reflection=reflection, use_wdist=use_wdist,
+    )
+    o1, c1 = trace_disks_oracle(
+        pts, nrm, disk_radius, num_rays=rays_oracle, seed=101, **kw
+    )
+    o2, c2 = trace_disks_oracle(
+        pts, nrm, disk_radius, num_rays=rays_oracle, seed=202, **kw
+    )
+    tf, info = _run_tpu(
+        pts, nrm, dim=dim, grid_delta=grid_delta, sticking=sticking,
+        num_rays=rays_tpu, boundary=boundary, reflection=reflection,
+        use_wdist=use_wdist,
+    )
+
+    # per-ray normalization so different ray counts compare directly
+    o1n = o1 / rays_oracle
+    o2n = o2 / rays_oracle
+    tn = tf / info.num_rays
+
+    noise = _rel_l2(o1n, o2n)  # ~ sqrt(2) x one-run MC noise
+    cross = _rel_l2(o1n, tn)
+    assert noise < noise_cap, f"oracle self-noise too high: {noise:.4f}"
+    # with rays_tpu >= rays_oracle, E[cross] <= noise; 1.45x headroom
+    assert cross < max(1.45 * noise, 0.004), (
+        f"flux parity violated: cross={cross:.4f} vs self-noise={noise:.4f}"
+    )
+
+    # event accounting per ray (ref counters, rayUtil.hpp:65-76)
+    geo_o = (c1["geometry_hits"] + c2["geometry_hits"]) / (2 * rays_oracle)
+    geo_t = info.geometry_hits / info.num_rays
+    assert abs(geo_t - geo_o) / geo_o < 0.02
+    bd_o = (c1["boundary_hits"] + c2["boundary_hits"]) / (2 * rays_oracle)
+    bd_t = info.boundary_hits / info.num_rays
+    assert abs(bd_t - bd_o) / max(bd_o, 0.05) < 0.05
+    refl_o = (c1["reflections"] + c2["reflections"]) / (2 * rays_oracle)
+    refl_t = info.reflections / info.num_rays
+    assert abs(refl_t - refl_o) / max(refl_o, 0.05) < 0.02
+    return cross, noise
+
+
+def test_parity_trench2d_reflective():
+    """2D trench, diffuse sticking 0.2, reflective walls (trace2D analog)."""
+    pts, nrm = fixtures.create_trench_grid_2d()
+    _parity_case(
+        pts, nrm, dim=2, grid_delta=0.1, sticking=0.2,
+        boundary=("reflective", "reflective"),
+        rays_oracle=120_000, rays_tpu=131_072,
+    )
+
+
+def test_parity_trench2d_periodic_low_sticking():
+    """2D trench, sticking 0.1, periodic walls (disk2D example config)."""
+    pts, nrm = fixtures.create_trench_grid_2d()
+    _parity_case(
+        pts, nrm, dim=2, grid_delta=0.1, sticking=0.1,
+        boundary=("periodic", "periodic"),
+        rays_oracle=100_000, rays_tpu=131_072,
+    )
+
+
+def test_parity_trench3d_periodic():
+    """3D trench, diffuse sticking 0.2, periodic walls (disk3D analog)."""
+    pts, nrm = fixtures.create_trench_grid_3d()
+    _parity_case(
+        pts, nrm, dim=3, grid_delta=0.5, sticking=0.2,
+        boundary=("periodic", "periodic"),
+        rays_oracle=120_000, rays_tpu=131_072, noise_cap=0.08,
+    )
+
+
+def test_parity_trench2d_specular():
+    """Specular ion-like reflection, sticking 0.5."""
+    pts, nrm = fixtures.create_trench_grid_2d()
+    _parity_case(
+        pts, nrm, dim=2, grid_delta=0.1, sticking=0.5,
+        boundary=("reflective", "reflective"),
+        rays_oracle=100_000, rays_tpu=131_072, reflection="specular",
+    )
+
+
+def test_parity_trench2d_wdist():
+    """1/distance-weighted multi-hit deposits (VIENNARAY_USE_WDIST path)."""
+    pts, nrm = fixtures.create_trench_grid_2d()
+    _parity_case(
+        pts, nrm, dim=2, grid_delta=0.1, sticking=0.3,
+        boundary=("reflective", "reflective"),
+        rays_oracle=80_000, rays_tpu=131_072, use_wdist=True,
+    )
