@@ -19,9 +19,32 @@ import os as _os
 if not _os.environ.get("VIENNARAY_TPU_NO_CACHE"):
     import jax as _jax
 
+    def _cpu_fingerprint():
+        # The cache home may persist across machines with different CPU
+        # microarchitectures; XLA:CPU AOT entries compiled elsewhere then
+        # load with mismatched machine features (observed: cpu_aot_loader
+        # "+prefer-no-gather not supported ... could lead to SIGILL").
+        # Key the cache directory by the host's feature set so each
+        # microarch gets its own entries. TPU entries are small relative to
+        # the cost of one bad CPU load.
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        import hashlib
+
+                        return hashlib.sha1(
+                            line.encode()
+                        ).hexdigest()[:12]
+        except OSError:
+            pass
+        return "generic"
+
     _cache_dir = _os.environ.get(
         "VIENNARAY_TPU_CACHE_DIR",
-        _os.path.expanduser("~/.cache/viennaray_tpu_jax"),
+        _os.path.expanduser(
+            f"~/.cache/viennaray_tpu_jax/{_cpu_fingerprint()}"
+        ),
     )
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
