@@ -71,3 +71,50 @@ def flux_and_grad_sticking(
         particle.sticking
     )
     return flux, grad
+
+
+def flux_and_grad_sticking_batched(
+    geometry, source, particle, bbox, base_key, total_rays, config,
+    geo_type="disk", num_bounces=16,
+):
+    """Gradient of a LARGE-ray-count flux w.r.t. sticking, accumulated over
+    mega-batches of ``config.ray_batch_size`` rays — the gradient analog of
+    the tracer's launch-clamp loop (gpu/raygTrace.hpp:132-160). The scan
+    path's memory is O(batch x bounces), so this is how 1e7+-ray gradients
+    run on a chip (BASELINE config 5). Both flux and the scalar gradient are
+    plain sums over batches; batch b uses fold_in(base_key, b), matching the
+    tracer's per-batch key schedule.
+
+    Returns (flux (N,) float64 host sum, d sum(flux)/d sticking float).
+    """
+    import numpy as np
+
+    batch = config.ray_batch_size
+    num_batches = max(1, -(-total_rays // batch))
+
+    @jax.jit
+    def one_batch(batch_key, ray_indices, valid):
+        def loss_fn(sticking):
+            p = particle.replace(sticking=sticking)
+            flux = trace_flux(
+                geometry, source, p, bbox, batch_key, ray_indices, valid,
+                config, geo_type, num_bounces,
+            )
+            return jnp.sum(flux), flux
+
+        (_, flux), grad = jax.value_and_grad(loss_fn, has_aux=True)(
+            particle.sticking
+        )
+        return flux, grad
+
+    flux_acc = np.zeros((geometry.num_primitives,), np.float64)
+    grad_acc = 0.0
+    for b in range(num_batches):
+        ray_indices = jnp.arange(
+            b * batch, (b + 1) * batch, dtype=jnp.int32
+        )
+        valid = ray_indices < total_rays
+        f, g = one_batch(jax.random.fold_in(base_key, b), ray_indices, valid)
+        flux_acc += np.asarray(f, np.float64)
+        grad_acc += float(g)
+    return flux_acc, grad_acc

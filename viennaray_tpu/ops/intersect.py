@@ -76,7 +76,7 @@ def disk_nearest_hit(org, direction, points, normals, radii, t_near, chunk=1024)
         return t, valid
 
     num_chunks = (points.shape[0]) // chunk
-    t_min = jnp.full((R,), BIG)
+    t_min = jnp.full((R,), BIG, dtype=org.dtype)
     arg_min = jnp.zeros((R,), jnp.int32)
 
     def body(i, carry):
@@ -144,7 +144,7 @@ def triangle_nearest_hit(org, direction, vertices, triangles, t_near, chunk=1024
         return t, valid
 
     num_chunks = v0.shape[0] // chunk
-    t_min = jnp.full((R,), BIG)
+    t_min = jnp.full((R,), BIG, dtype=org.dtype)
     arg_min = jnp.zeros((R,), jnp.int32)
 
     def body(i, carry):
@@ -205,7 +205,7 @@ def line_nearest_hit(org, direction, p0, p1, t_near, chunk=1024):
         return t, valid
 
     num_chunks = p0.shape[0] // chunk
-    t_min = jnp.full((R,), BIG)
+    t_min = jnp.full((R,), BIG, dtype=org.dtype)
     arg_min = jnp.zeros((R,), jnp.int32)
 
     def body(i, carry):
@@ -265,3 +265,61 @@ def check_local_intersection(org, direction, centers, normals, radii):
     dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
     valid = front & not_parallel & (t > 0.0) & (dist < radii)
     return valid, dist
+
+
+def disk_window_deposit(org, direction, points, normals, radii, tlim, wdep,
+                        t_near, chunk=1024):
+    """Candidate-window flux deposits (GPU ``flux_model="window"`` contract,
+    GeneralPipelineDisk.cu:51-59,86-93): every disk the ray intersects with
+    t_near < t <= tlim receives the ray's pre-sticking weight — no facing
+    test, no adjacency. ``tlim`` is per ray (t_hit + tau for colliding rays,
+    -BIG otherwise); ``wdep`` the masked deposit weight.
+
+    Returns (N,) per-prim deposits for this bounce.
+    """
+    N = points.shape[0]
+    pad = (-N) % chunk
+    if pad:
+        points = jnp.pad(points, ((0, pad), (0, 0)), constant_values=1e18)
+        normals = jnp.pad(normals, ((0, pad), (0, 0)))
+        radii = jnp.pad(radii, (0, pad))
+    n_dot_c = jnp.sum(normals * points, axis=1)
+    c2 = jnp.sum(points * points, axis=1)
+    org2 = jnp.sum(org * org, axis=1)
+    dir_dot_org = jnp.sum(direction * org, axis=1)
+
+    def body(i, acc):
+        start = i * chunk
+        p = jax.lax.dynamic_slice_in_dim(points, start, chunk)
+        n = jax.lax.dynamic_slice_in_dim(normals, start, chunk)
+        r_ = jax.lax.dynamic_slice_in_dim(radii, start, chunk)
+        ndc = jax.lax.dynamic_slice_in_dim(n_dot_c, start, chunk)
+        cc2 = jax.lax.dynamic_slice_in_dim(c2, start, chunk)
+
+        denom = _mm(direction, n.T)
+        n_dot_o = _mm(org, n.T)
+        t = (ndc[None, :] - n_dot_o) / jnp.where(denom == 0, 1e-30, denom)
+        o_dot_c = _mm(org, p.T)
+        d_dot_c = _mm(direction, p.T)
+        dist2 = (
+            org2[:, None]
+            - 2.0 * o_dot_c
+            + cc2[None, :]
+            + 2.0 * t * (dir_dot_org[:, None] - d_dot_c)
+            + t * t
+        )
+        dep = (
+            (denom != 0)
+            & (t > t_near)
+            & (dist2 < r_[None, :] * r_[None, :])
+            & (t <= tlim[:, None])
+        )
+        contrib = _mm(wdep[None, :], dep.astype(wdep.dtype))[0]
+        return jax.lax.dynamic_update_slice_in_dim(
+            acc, jax.lax.dynamic_slice_in_dim(acc, start, chunk) + contrib,
+            start, 0,
+        )
+
+    acc = jnp.zeros((points.shape[0],), wdep.dtype)
+    acc = jax.lax.fori_loop(0, points.shape[0] // chunk, body, acc)
+    return acc[:N]

@@ -205,12 +205,24 @@ def _one_bounce(
     *, pt, npad, t_near, dim, first_dir, second_dir, ray_axis, bc1, bc2,
     refl_kind, use_skip, max_bounces_cfg, max_bdry, wthresh, wrenew, roulette,
     per_mat, geo_kind, flux_model, mfp,
+    ordered=False, order_ref=None, dbound_ref=None, o0=None, sub_k=0,
+    sweep_fetch=None,
 ):
     """One full bounce on column-vector state; returns (state', stats).
 
     ``get_block(i)`` yields chunk i's (rows, pt) SoA slice — a VMEM view for
     resident geometry, or a DMA-fetched scratch copy for HBM-streamed
-    geometry (the >VMEM-budget path, the Embree-scale capability)."""
+    geometry (the >VMEM-budget path, the Embree-scale capability).
+
+    When ``ordered``, pass 1 walks chunks in per-tile distance order
+    (``order_ref``/``dbound_ref``, computed on the XLA side from the tile's
+    entry origins) with a conservative early break — the TPU analog of
+    Embree's front-to-back BVH descent (rayTraceKernel.hpp:163-167): chunk
+    j's Euclidean distance lower bound ``dbound[j] - drift`` (drift = max
+    live-lane movement since kernel entry, exact for sub-bounces > 0) is
+    nondecreasing in j, so once it exceeds every live lane's current search
+    bound no remaining chunk can improve any hit. ``sweep_fetch`` (streamed
+    only) provides (start, wait) for double-buffered chunk DMA."""
     (ox, oy, oz, dx, dy, dz, weight, w0, alive, hfb, n_refl, n_bdry) = state
     rt = ox.shape[0]
     # Mosaic requires integer iota; cast after (f32 holds lanes exactly
@@ -222,6 +234,18 @@ def _one_bounce(
     inv_x = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
     inv_y = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
     inv_z = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+
+    cols = [ox, oy, oz]
+    dcols = [dx, dy, dz]
+    invs = [inv_x, inv_y, inv_z]
+    lo1 = walls_ref[0, 0]
+    hi1 = walls_ref[0, 1]
+    lo2 = walls_ref[0, 2]
+    hi2 = walls_ref[0, 3]
+    lor = walls_ref[0, 4]
+    hir = walls_ref[0, 5]
+    tau = walls_ref[0, 6]
+    nbr2 = walls_ref[0, 7]
 
     def chunk_slab(i):
         """Ray/chunk-AABB slab interval (the skip test)."""
@@ -243,109 +267,51 @@ def _one_bounce(
 
     is_disk = geo_kind == "disk"
 
-    def hit_test(i):
+    def hit_test_block(i, block):
         """(tt, nx, ny, nz, cx, cy, cz, stk) with tt = BIG where invalid."""
         if is_disk:
             t, denom, dist2, r2, nx, ny, nz, cx, cy, cz, stk = _disk_chunk(
-                get_block(i), i, pt, ox, oy, oz, dx, dy, dz, stick_ref,
+                block, i, pt, ox, oy, oz, dx, dy, dz, stick_ref,
                 per_mat,
             )
             valid = (denom != 0.0) & (t > t_near) & (dist2 < r2)
         elif geo_kind == "line":
             t, valid, nx, ny, stk = _line_chunk(
-                get_block(i), i, pt, ox, oy, dx, dy, stick_ref, per_mat,
+                block, i, pt, ox, oy, dx, dy, stick_ref, per_mat,
                 t_near,
             )
             nz = jnp.zeros_like(nx)
             cx = cy = cz = None
         else:
             t, valid, nx, ny, nz, stk = _tri_chunk(
-                get_block(i), i, pt, ox, oy, oz, dx, dy, dz, stick_ref,
+                block, i, pt, ox, oy, oz, dx, dy, dz, stick_ref,
                 per_mat, t_near,
             )
             cx = cy = cz = None
         tt = jnp.where(valid, t, BIG)
         return tt, nx, ny, nz, cx, cy, cz, stk
 
+    def hit_test(i):
+        return hit_test_block(i, get_block(i))
+
     # ---- pass 1: nearest hit with unique-lane selection ------------------
-    # Tie-break: lowest sorted-lane index within a chunk; across chunks the
-    # earliest chunk wins (strict <). Deterministic; matches the reference's
-    # "one hit prim" contract (Embree picks one primID per closest hit).
+    # Tie-break: lowest GLOBAL sorted-lane index (lexicographic on (t, lane)),
+    # so the result is independent of chunk visit order. Deterministic;
+    # matches the reference's "one hit prim" contract (Embree picks one
+    # primID per closest hit).
     # NOTE: selection stays fused into the sweep — a deferred two-pass
     # variant (min-only sweep + 1-2 chunk re-select) measured SLOWER on v5e
     # (112.5k vs 136.5k rays/s on the 18k trench) despite fewer nominal ops.
-    # All loop carries are f32 — Mosaic cannot legalize scf.for with i1
-    # vector carries.
-    def pick(sel, x):
-        return jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+    # All loop carries are f32 (+ one i32 scalar) — Mosaic cannot legalize
+    # loops with i1 vector carries.
+    n_chunks = npad // pt
 
-    def body(i, carry):
-        tmin = carry[0]
-        tlo, thi = chunk_slab(i)
-        need = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < tmin))
-
-        def full(carry):
-            tmin, hlane, nbx, nby, nbz, hcx, hcy, hcz, stk_c = carry
-            tt, nx, ny, nz, cx, cy, cz, stk = hit_test(i)
-            cmin = jnp.min(tt, axis=1, keepdims=True)
-            eq = tt == cmin
-            lmin = jnp.min(
-                jnp.where(eq, lane_iota, BIGLANE), axis=1, keepdims=True
-            )
-            sel = eq & (lane_iota == lmin)
-            take = cmin < tmin
-            upd = lambda new, old: jnp.where(take, new, old)
-            out = (
-                upd(cmin, tmin),
-                upd(lmin + i * pt, hlane),
-                upd(pick(sel, nx), nbx),
-                upd(pick(sel, ny), nby),
-                upd(pick(sel, nz), nbz),
-            )
-            if is_disk:
-                out += (
-                    upd(pick(sel, cx), hcx),
-                    upd(pick(sel, cy), hcy),
-                    upd(pick(sel, cz), hcz),
-                )
-            else:
-                out += (hcx, hcy, hcz)
-            if per_mat:
-                out += (upd(pick(sel, stk), stk_c),)
-            else:
-                out += (stk_c,)
-            return out
-
-        if use_skip:
-            return jax.lax.cond(need, full, lambda c: c, carry)
-        return full(carry)
-
-    zeros = jnp.zeros((rt, 1), jnp.float32)
-    init = (
-        jnp.full((rt, 1), BIG, jnp.float32),  # tmin
-        jnp.full((rt, 1), -1.0, jnp.float32),  # hit lane (sorted, global)
-        zeros, zeros, zeros,  # normal
-        zeros, zeros, zeros,  # center (disk only)
-        zeros,  # sticking (per_mat only)
-    )
-    (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = (
-        jax.lax.fori_loop(0, npad // pt, body, init)
-    )
-    hit_geo = t_geo < BIG
-
+    # Search bound: every primitive lies inside the walls box inflated by the
+    # disk radius, so no hit can lie beyond the ray's exit of that box. This
+    # caps every lane's pass-1 bound (escaping rays stop waking chunks) and
+    # makes the ordered early break effective. Real hits satisfy
+    # t <= texit < tmin0 strictly, so the found-hit set is unchanged.
     # ---- wall crossings (finite rectangles) -----------------------------
-    cols = [ox, oy, oz]
-    dcols = [dx, dy, dz]
-    invs = [inv_x, inv_y, inv_z]
-    lo1 = walls_ref[0, 0]
-    hi1 = walls_ref[0, 1]
-    lo2 = walls_ref[0, 2]
-    hi2 = walls_ref[0, 3]
-    lor = walls_ref[0, 4]
-    hir = walls_ref[0, 5]
-    tau = walls_ref[0, 6]
-    nbr2 = walls_ref[0, 7]
-
     def wall_t(axis, lo, hi, other_axis, other_lo, other_hi):
         dax = dcols[axis]
         oax = cols[axis]
@@ -367,6 +333,149 @@ def _one_bounce(
         t_w2 = wall_t(second_dir, lo2, hi2, first_dir, lo1, hi1)
     else:
         t_w2 = jnp.full((rt, 1), BIG, jnp.float32)
+
+    r_inf = walls_ref[0, 8] + t_near
+    lows = {first_dir: lo1, second_dir: lo2, ray_axis: lor}
+    highs = {first_dir: hi1, second_dir: hi2, ray_axis: hir}
+    texit = None
+    for ax in range(3):
+        e = jnp.maximum(
+            (highs[ax] + r_inf - cols[ax]) * invs[ax],
+            (lows[ax] - r_inf - cols[ax]) * invs[ax],
+        )
+        texit = e if texit is None else jnp.minimum(texit, e)
+    # ...and by the wall-crossing time: a geometry hit beyond the nearest
+    # wall event never wins (t_geo <= t_ev decides; ties go to geometry, so
+    # the bound sits a hair ABOVE the wall t). Sideways lanes then stop
+    # waking chunks across the domain, which is what lets the ordered early
+    # break fire on direction-decoherent tiles.
+    tmin0 = (
+        jnp.minimum(jnp.maximum(texit, 0.0), jnp.minimum(t_w1, t_w2))
+        * (1.0 + 1e-4)
+        + t_near
+    )
+
+    def pick(sel, x):
+        return jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+
+    def full(i, block, carry):
+        tmin, hlane, nbx, nby, nbz, hcx, hcy, hcz, stk_c = carry
+        tt, nx, ny, nz, cx, cy, cz, stk = hit_test_block(i, block)
+        cmin = jnp.min(tt, axis=1, keepdims=True)
+        eq = tt == cmin
+        lmin = jnp.min(
+            jnp.where(eq, lane_iota, BIGLANE), axis=1, keepdims=True
+        )
+        sel = eq & (lane_iota == lmin)
+        glane = lmin + (i * pt).astype(jnp.float32)
+        take = (cmin < tmin) | ((cmin == tmin) & (glane < hlane))
+        upd = lambda new, old: jnp.where(take, new, old)
+        out = (
+            upd(cmin, tmin),
+            upd(glane, hlane),
+            upd(pick(sel, nx), nbx),
+            upd(pick(sel, ny), nby),
+            upd(pick(sel, nz), nbz),
+        )
+        if is_disk:
+            out += (
+                upd(pick(sel, cx), hcx),
+                upd(pick(sel, cy), hcy),
+                upd(pick(sel, cz), hcz),
+            )
+        else:
+            out += (hcx, hcy, hcz)
+        if per_mat:
+            out += (upd(pick(sel, stk), stk_c),)
+        else:
+            out += (stk_c,)
+        return out
+
+    zeros = jnp.zeros((rt, 1), jnp.float32)
+    init = (
+        tmin0,  # search bound; shrinks to the nearest hit
+        jnp.full((rt, 1), BIGLANE, jnp.float32),  # hit lane (sorted, global)
+        zeros, zeros, zeros,  # normal
+        zeros, zeros, zeros,  # center (disk only)
+        zeros,  # sticking (per_mat only)
+    )
+
+    if ordered:
+        any_alive = jnp.any(alive)
+        if sub_k == 0:
+            drift = jnp.float32(0.0)
+        else:
+            # max live-lane displacement since kernel entry: restores the
+            # validity of the entry-time distance bounds for later
+            # sub-bounces (dist_now >= dbound[j] - drift for ALL remaining
+            # chunks since dbound is sorted ascending)
+            o0x, o0y, o0z = o0
+            dsp = jnp.sqrt(
+                (ox - o0x) ** 2 + (oy - o0y) ** 2 + (oz - o0z) ** 2
+            )
+            drift = jnp.max(jnp.where(alive, dsp, 0.0))
+
+        def s_cond(c):
+            return c[0] < n_chunks
+
+        def s_body(c):
+            j = c[0]
+            carry = c[1:]
+            tmin = carry[0]
+            idx = order_ref[0, 0, j]
+            tmax_live = jnp.max(jnp.where(alive, tmin, 0.0))
+            brk = dbound_ref[0, 0, j] - drift > tmax_live
+            if sweep_fetch is not None:
+                start, wait, block_of = sweep_fetch
+
+                @pl.when((~brk) & (j + 1 < n_chunks))
+                def _():
+                    start(j + 1)  # prefetch the next chunk in order
+
+                wait(j)  # drain the in-flight DMA even on break
+            tlo, thi = chunk_slab(idx)
+            need = (
+                jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < tmin) & alive)
+                & (~brk)
+            )
+            if sweep_fetch is not None:
+                blk_fn = lambda: block_of(j)
+            else:
+                blk_fn = lambda: get_block(idx)
+            carry = jax.lax.cond(
+                need, lambda cc: full(idx, blk_fn(), cc), lambda cc: cc,
+                carry,
+            )
+            j2 = jnp.where(brk, jnp.int32(n_chunks), j + 1)
+            return (j2,) + carry
+
+        j0 = jnp.where(any_alive, jnp.int32(0), jnp.int32(n_chunks))
+        if sweep_fetch is not None:
+            @pl.when(any_alive)
+            def _():
+                sweep_fetch[0](0)  # warm-up: fetch order[0] into slot 0
+        out = jax.lax.while_loop(s_cond, s_body, (j0,) + init)
+        (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = out[1:]
+    else:
+
+        def body(i, carry):
+            tmin = carry[0]
+            tlo, thi = chunk_slab(i)
+            need = jnp.any(
+                (thi >= tlo) & (thi > 0.0) & (tlo < tmin) & alive
+            )
+
+            def run(cc):
+                return full(i, get_block(i), cc)
+
+            if use_skip:
+                return jax.lax.cond(need, run, lambda c: c, carry)
+            return run(carry)
+
+        (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = (
+            jax.lax.fori_loop(0, n_chunks, body, init)
+        )
+    hit_geo = h_lane < BIGLANE
 
     t_geo_m = jnp.where(hit_geo, t_geo, BIG)
     t_ev = jnp.minimum(jnp.minimum(t_geo_m, t_w1), t_w2)
@@ -451,10 +560,15 @@ def _one_bounce(
     collide = is_geo_ev & (~backface)
 
     # ---- pass 2: flux deposits ------------------------------------------
+    import os as _os_abl
+
+    _ablate = _os_abl.environ.get("VIENNARAY_TPU_ABLATE", "")
     wdep = jnp.where(collide, weight, 0.0)  # pre-sticking weight
     h_lane_m = jnp.where(collide, h_lane, -1.0)
 
-    if is_disk and flux_model == "neighbor":
+    if "deposit" in _ablate:  # perf-ablation only: flux stays zero
+        pass
+    elif is_disk and flux_model == "neighbor":
         # CPU neighbor-list contract; hit centers masked to far away for
         # non-colliding rays so their sphere test never wakes a chunk
         qx = jnp.where(collide, hcx, BIG)
@@ -658,27 +772,55 @@ def _one_bounce(
 def _bounce_kernel(
     org_ref, dir_ref, w_ref, w0_ref, flags_ref, uni_ref, prims_ref, bb_ref,
     walls_ref, stick_ref,
-    org_out, dir_out, w_out, flags_out, stats_out, flux_out,
-    *scratch, n_sub, n_uni, pt, stream=False, **kw,
+    *rest, n_sub, n_uni, pt, stream=False, ordered=False, **kw,
 ):
+    # pallas_call passes inputs, then outputs, then scratch positionally;
+    # order/dbound are two extra inputs present only on the ordered path
+    if ordered:
+        order_ref, dbound_ref = rest[0], rest[1]
+        rest = rest[2:]
+    else:
+        order_ref = dbound_ref = None
+    (org_out, dir_out, w_out, flags_out, stats_out, flux_out) = rest[:6]
+    scratch = rest[6:]
     o = org_ref[:]  # (RT, 3)
     d = dir_ref[:]
     rt = o.shape[0]
 
+    sweep_fetch = None
     if stream:
-        # HBM-resident geometry: fetch the chunk into a VMEM scratch slot on
-        # demand. The chunk loops only call get_block when the slab/sphere
-        # wake-up test passes, so coherent ray tiles DMA only the few chunks
-        # around their hits — the streaming analog of BVH descent.
-        chunk_scratch, dma_sem = scratch
+        # HBM-resident geometry: fetch chunks into VMEM scratch on demand.
+        # The chunk loops only touch geometry when the slab/sphere wake-up
+        # test passes, so coherent ray tiles DMA only the few chunks around
+        # their hits — the streaming analog of BVH descent.
+        if ordered:
+            # double-buffered sweep: chunk order[j+1]'s DMA runs behind
+            # chunk order[j]'s test; a separate slot serves the deposit pass
+            sweep_scratch, sweep_sems, dep_scratch, dep_sem = scratch
+
+            def _sweep_dma(j):
+                idx = order_ref[0, 0, j]
+                return pltpu.make_async_copy(
+                    prims_ref.at[:, pl.ds(idx * pt, pt)],
+                    sweep_scratch.at[j % 2],
+                    sweep_sems.at[j % 2],
+                )
+
+            sweep_fetch = (
+                lambda j: _sweep_dma(j).start(),
+                lambda j: _sweep_dma(j).wait(),
+                lambda j: sweep_scratch[j % 2],
+            )
+        else:
+            dep_scratch, dep_sem = scratch
 
         def get_block(i):
             dma = pltpu.make_async_copy(
-                prims_ref.at[:, pl.ds(i * pt, pt)], chunk_scratch, dma_sem
+                prims_ref.at[:, pl.ds(i * pt, pt)], dep_scratch, dep_sem
             )
             dma.start()
             dma.wait()
-            return chunk_scratch[:]
+            return dep_scratch[:]
 
     else:
 
@@ -698,6 +840,7 @@ def _bounce_kernel(
         flags_ref[:, 2:3],  # n_refl
         flags_ref[:, 3:4],  # n_bdry
     )
+    o0 = (o[:, 0:1], o[:, 1:2], o[:, 2:3])
     st = [jnp.zeros((rt, 1), jnp.float32) for _ in range(5)]
     for k in range(n_sub):
         u = tuple(
@@ -706,7 +849,9 @@ def _bounce_kernel(
         )
         state, stats = _one_bounce(
             state, u, get_block, bb_ref, walls_ref, stick_ref,
-            flux_out, pt=pt, **kw
+            flux_out, pt=pt, ordered=ordered, order_ref=order_ref,
+            dbound_ref=dbound_ref, o0=o0, sub_k=k, sweep_fetch=sweep_fetch,
+            **kw
         )
         st = [a + b for a, b in zip(st, stats)]
 
@@ -736,7 +881,7 @@ def _bounce_kernel(
         "t_near", "rt", "pt", "dim", "first_dir", "second_dir", "ray_axis",
         "bc1", "bc2", "refl_kind", "max_bounces_cfg", "max_bdry", "wthresh",
         "wrenew", "roulette", "interpret", "n_sub", "per_mat", "geo_kind",
-        "flux_model", "mfp", "stream",
+        "flux_model", "mfp", "stream", "ordered",
     ),
 )
 def fused_bounce(
@@ -747,7 +892,7 @@ def fused_bounce(
     refl_kind=ReflectionKind.DIFFUSE, max_bounces_cfg=2**30, max_bdry=1000,
     wthresh=0.1, wrenew=0.3, roulette=True, interpret=False, n_sub=1,
     per_mat=False, geo_kind="disk", flux_model="neighbor", mfp=-1.0,
-    stream=False,
+    stream=False, ordered=True,
 ):
     """Run ``n_sub`` fused bounces for all rays.
 
@@ -755,9 +900,11 @@ def fused_bounce(
     uniforms (R, n_uni*n_sub) with n_uni = 3 (+3 when mfp > 0), columns per
     sub-bounce [u_refl1|theta, u_refl2, u_roul (, u_scat, u_z, u_phi)];
     prims (8,Npad) disk SoA or (12,Npad) triangle SoA; chunk_bbs (C,8);
-    walls (1,8) [lo1 hi1 lo2 hi2 lo_r hi_r tau nbr2] with tau the window
-    deposit width 1.1*gridDelta and nbr2 = (2*diskRadius)^2 the neighborhood
-    radius squared; sticking (1,1) scalar, or (1,Npad) per-prim in SORTED
+    walls (1,9) [lo1 hi1 lo2 hi2 lo_r hi_r tau nbr2 r_over] with tau the
+    window deposit width 1.1*gridDelta, nbr2 = (2*diskRadius)^2 the
+    neighborhood radius squared, and r_over the geometry overhang beyond the
+    walls box (8-column input gets r_over = sqrt(nbr2)/2 appended);
+    sticking (1,1) scalar, or (1,Npad) per-prim in SORTED
     order when ``per_mat`` (the GPU per-material sticking map,
     rayParticle.hpp:213, resolved per prim on the host side).
 
@@ -771,16 +918,26 @@ def fused_bounce(
     import os as _os
 
     R = org.shape[0]
+    if walls.shape[1] == 8:
+        # col 8 = geometry overhang beyond the walls box (disks stick out by
+        # their radius; bbox covers centers only) — needed by the pass-1
+        # box-exit search bound. Default: the uniform disk radius
+        # sqrt(nbr2)/2; callers with per-prim radii pass 9 columns.
+        walls = jnp.concatenate(
+            [walls, jnp.sqrt(walls[:, 7:8]) * 0.5], axis=1
+        )
     if rt is None:
         # ray-tile width: VPU-register/VMEM-pressure tradeoff, env-tunable
         rt = int(_os.environ.get("VIENNARAY_TPU_RT", "256"))
     rt = min(rt, R)
     grid = (R // rt,)
     npad = prims.shape[1]
+    n_chunks = npad // pt
+    ordered = bool(ordered) and n_chunks >= 2
     n_uni = 3 + (3 if mfp > 0.0 else 0)
     kernel = functools.partial(
         _bounce_kernel, n_sub=n_sub, n_uni=n_uni, pt=pt, npad=npad,
-        stream=bool(stream), t_near=float(t_near),
+        stream=bool(stream), ordered=ordered, t_near=float(t_near),
         dim=dim,
         first_dir=first_dir, second_dir=second_dir, ray_axis=ray_axis,
         bc1=BoundaryCondition(bc1), bc2=BoundaryCondition(bc2),
@@ -800,23 +957,70 @@ def fused_bounce(
         a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     if stream:
-        # geometry stays in HBM; one chunk-sized VMEM scratch + DMA semaphore
+        # geometry stays in HBM
         prims_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        scratch_shapes = [
-            pltpu.VMEM((prims.shape[0], pt), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ]
+        if ordered:
+            # double-buffered sweep slots + a deposit slot
+            scratch_shapes = [
+                pltpu.VMEM((2, prims.shape[0], pt), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((prims.shape[0], pt), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ]
+        else:
+            scratch_shapes = [
+                pltpu.VMEM((prims.shape[0], pt), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ]
     else:
         prims_spec = whole(prims)
         scratch_shapes = []
+
+    in_specs = [
+        vspec(3), vspec(3), vspec(1), vspec(1), vspec(4),
+        vspec(n_uni * n_sub),
+        prims_spec, whole(chunk_bbs), whole(walls), whole(sticking),
+    ]
+    args = [org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs, walls,
+            sticking]
+    if ordered:
+        # Per-tile front-to-back chunk schedule (the Embree BVH-descent
+        # analog): chunks sorted by Euclidean distance from the tile's
+        # live-origin centroid to the chunk AABB; dbound = that distance
+        # minus the tile radius is a valid lower bound on ANY live lane's
+        # distance to the chunk, so the kernel can stop the sweep once
+        # dbound exceeds every live lane's current search bound.
+        n_tiles = R // rt
+        a_t = (flags[:, 0] > 0.5).reshape(n_tiles, rt, 1)
+        o_t = org.reshape(n_tiles, rt, 3)
+        cnt = jnp.maximum(jnp.sum(a_t, axis=1).astype(jnp.float32), 1.0)
+        cen = jnp.sum(jnp.where(a_t, o_t, 0.0), axis=1) / cnt
+        r2_t = jnp.sum((o_t - cen[:, None, :]) ** 2, axis=-1)
+        r_tile = jnp.sqrt(jnp.max(jnp.where(a_t[..., 0], r2_t, 0.0), axis=1))
+        lo_c = chunk_bbs[None, :, 0:3]
+        hi_c = chunk_bbs[None, :, 3:6]
+        dd = jnp.maximum(
+            jnp.maximum(lo_c - cen[:, None, :], cen[:, None, :] - hi_c), 0.0
+        )
+        dist = jnp.sqrt(jnp.sum(dd * dd, axis=-1))  # (n_tiles, C)
+        order = jnp.argsort(dist, axis=1).astype(jnp.int32)
+        dbound = jnp.take_along_axis(
+            dist - r_tile[:, None], order, axis=1
+        ).astype(jnp.float32)
+        # 3-D (n_tiles, 1, C) with block (1, 1, C): Mosaic requires the last
+        # two block dims to equal the array dims (or be (8,128)-divisible)
+        order = order[:, None, :]
+        dbound = dbound[:, None, :]
+        smem_spec = pl.BlockSpec(
+            (1, 1, n_chunks), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+        )
+        in_specs += [smem_spec, smem_spec]
+        args += [order, dbound]
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            vspec(3), vspec(3), vspec(1), vspec(1), vspec(4),
-            vspec(n_uni * n_sub),
-            prims_spec, whole(chunk_bbs), whole(walls), whole(sticking),
-        ],
+        in_specs=in_specs,
         scratch_shapes=scratch_shapes,
         out_specs=[
             vspec(3), vspec(3), vspec(1), vspec(4), vspec(8),
@@ -833,6 +1037,5 @@ def fused_bounce(
             jax.ShapeDtypeStruct((npad // pt, pt), jnp.float32),
         ],
         interpret=interpret,
-    )(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs, walls,
-      sticking)
+    )(*args)
     return out

@@ -32,7 +32,12 @@ BIG = jnp.float32(3.4e38)
 
 # prims row layout (SoA): cx cy cz nx ny nz r2 ndc  -> (8, Npad)
 PRIM_ROWS = 8
-DEFAULT_PT = 512
+import os as _os
+
+# prim-chunk width (lanes per SoA chunk). Smaller chunks give the megakernel
+# finer skip/early-break granularity at more loop iterations; must be a
+# multiple of 128 (TPU lane width).
+DEFAULT_PT = int(_os.environ.get("VIENNARAY_TPU_PT", "512"))
 
 
 def _morton3(c):

@@ -146,6 +146,10 @@ def trace_batch(
     ray_indices: (R,) global ray indices (reserved for index-keyed sources).
     valid: (R,) bool — lanes beyond the total ray count start dead.
     collision_fn(flux, prim, weight, dirn, normal, mat, key[, aux]) -> flux and
+    — ``flux`` is (N,) for single-label particles, or (L, N) when the
+    particle declares L > 1 ``data_labels``: the fn writes distinct values
+    into distinct labelled channels (ref: rayParticle.hpp:60-66; GPU result
+    buffer numElements x sum(dataLabels), gpu/raygTrace.hpp:97-99) —
     reflection_fn(key, dirn, normal, prim, mat, weight[, aux]) ->
     (sticking, new_dir[, aux]) optionally override the particle's built-in
     behavior (the JAX analog of the reference's virtual dispatch / GPU
@@ -241,10 +245,29 @@ def trace_batch(
     weight = jnp.where(valid, w0, 0.0)
     alive = valid
     hit_from_back = jnp.zeros((R,), bool)
+    del valid  # permuted below; use `alive` from here on
     n_refl = jnp.zeros((R,), jnp.int32)
     n_bdry = jnp.zeros((R,), jnp.int32)
-    flux = jnp.zeros((n_prims,), dtype)
+    # Multi-channel local data (ref: rayParticle.hpp:60-66 writes distinct
+    # values into distinct labelled channels inside surfaceCollision; the GPU
+    # result buffer is numElements x sum(dataLabels), gpu/raygTrace.hpp:97-99):
+    # with a custom collision_fn and L > 1 data labels the flux carried
+    # through the trace is (L, N) and the collision_fn owns every channel.
+    # Built-in particles have exactly one channel -> plain (N,) as before.
+    n_chan = len(particle.data_labels) if collision_fn is not None else 1
+    if n_chan > 1:
+        flux = jnp.zeros((n_chan, n_prims), dtype)
+    else:
+        flux = jnp.zeros((n_prims,), dtype)
     counters = BatchCounters.zeros()
+    if config.flux_model == "window" and (
+        collision_fn is not None or config.use_wdist
+    ):
+        raise NotImplementedError(
+            "flux_model='window' supports built-in deposits only (no "
+            "collision_fn / use_wdist) — the GPU candidate-window contract "
+            "has no neighbor-id list to hand to a custom collision"
+        )
 
     mean_free_path = particle.mean_free_path
     t_near = jnp.asarray(config.t_near, dtype)
@@ -288,6 +311,8 @@ def trace_batch(
                 t_geo, prim, hit_geo = pallas_intersect.disk_nearest_hit_pallas(
                     org, dirn, geometry.prims_soa, geometry.soa_perm,
                     geometry.soa_chunk_bbs, t_near=config.t_near,
+                    pt=geometry.prims_soa.shape[1]
+                    // geometry.soa_chunk_bbs.shape[0],
                 )
             elif use_grid:
                 t_geo, prim, hit_geo = grid_traverse.disk_grid_nearest_hit(
@@ -305,6 +330,8 @@ def trace_batch(
                     pallas_intersect.triangle_nearest_hit_pallas(
                         org, dirn, geometry.prims_soa, geometry.soa_perm,
                         geometry.soa_chunk_bbs, t_near=config.t_near,
+                        pt=geometry.prims_soa.shape[1]
+                        // geometry.soa_chunk_bbs.shape[0],
                     )
                 )
             elif use_grid:
@@ -425,7 +452,19 @@ def trace_batch(
 
         # flux accumulation (ref: DiffuseParticle::surfaceCollision adds the
         # current rayWeight, rayParticle.hpp:148-156)
-        if geo_type == "disk":
+        if geo_type == "disk" and config.flux_model == "window":
+            # GPU candidate-window contract (GeneralPipelineDisk.cu:51-59):
+            # every disk with t_near < t <= t_hit + tau deposits, tau =
+            # 1.1*gridDelta (gpu/raygTrace.hpp:116) — same semantics as the
+            # fused megakernel's window pass (pallas_bounce.py)
+            tau = jnp.asarray(1.1 * geometry.grid_delta, dtype)
+            wdep = jnp.where(collide, weight, 0.0)
+            tlim = jnp.where(collide, t_geo + tau, -BIG)
+            flux = flux + intersect.disk_window_deposit(
+                org, dirn, geometry.points, geometry.normals,
+                geometry.radii, tlim, wdep, t_near,
+            )
+        elif geo_type == "disk":
             nb_ids = geometry.neighbors[prim_c]  # (R, K)
             K = nb_ids.shape[1]
             nb_c = jnp.clip(nb_ids, 0, n_prims - 1)
@@ -570,16 +609,16 @@ def trace_batch(
         )
         alive_out = alive & (~dead)
 
+        # dtype pinned so the carry stays int32 under jax_enable_x64 (the
+        # f64-precision tracing mode; sum() would otherwise promote)
+        isum = lambda m: jnp.sum(m, dtype=jnp.int32)
         cnt = BatchCounters(
-            total_traces=cnt.total_traces + jnp.sum(alive.astype(jnp.int32)),
-            non_geometry_hits=cnt.non_geometry_hits
-            + jnp.sum(is_exit.astype(jnp.int32)),
-            geometry_hits=cnt.geometry_hits + jnp.sum(collide.astype(jnp.int32)),
-            particle_hits=cnt.particle_hits
-            + jnp.sum(scattering.astype(jnp.int32)),
-            boundary_hits=cnt.boundary_hits + jnp.sum(is_wall.astype(jnp.int32)),
-            reflections=cnt.reflections
-            + jnp.sum(collide.astype(jnp.int32)),
+            total_traces=cnt.total_traces + isum(alive),
+            non_geometry_hits=cnt.non_geometry_hits + isum(is_exit),
+            geometry_hits=cnt.geometry_hits + isum(collide),
+            particle_hits=cnt.particle_hits + isum(scattering),
+            boundary_hits=cnt.boundary_hits + isum(is_wall),
+            reflections=cnt.reflections + isum(collide),
         )
 
         return (
@@ -644,12 +683,22 @@ def trace_batch(
         if geo_type == "disk":
             tau = jnp.asarray(1.1 * geometry.grid_delta, dtype)
             nbr2 = jnp.asarray((2.0 * geometry.disk_radius) ** 2, dtype)
+            # geometry overhang beyond the walls box (per-disk radii may
+            # exceed the uniform disk_radius) for the pass-1 search bound
+            r_over = jnp.maximum(
+                jnp.asarray(geometry.disk_radius, dtype),
+                jnp.max(geometry.radii),
+            )
         else:
             tau = jnp.zeros((), dtype)
             nbr2 = jnp.zeros((), dtype)
+            r_over = jnp.zeros((), dtype)
         walls = jnp.stack(
-            [lo1, hi1, lo2, hi2, lo_r, hi_r, tau, nbr2]
-        ).reshape(1, 8).astype(jnp.float32)
+            [lo1, hi1, lo2, hi2, lo_r, hi_r, tau, nbr2, r_over]
+        ).reshape(1, 9).astype(jnp.float32)
+        fused_ordered = (
+            _os.environ.get("VIENNARAY_TPU_ORDERED", "1") == "1"
+        )
         fused_mfp = float(particle.mean_free_path)
         fused_refl = ReflectionKind(particle.reflection_kind)
         n_uni = 3 + (3 if fused_mfp > 0.0 else 0)
@@ -749,6 +798,9 @@ def trace_batch(
                         org, dirn, weight[:, None], w0[:, None], flags,
                         uniforms, geometry.prims_soa, geometry.soa_chunk_bbs,
                         walls, stick_arr,
+                        # chunk width as packed into this geometry's SoA
+                        pt=geometry.prims_soa.shape[1]
+                        // geometry.soa_chunk_bbs.shape[0],
                         t_near=config.t_near, dim=dim, first_dir=first_dir,
                         second_dir=second_dir, ray_axis=ray_axis,
                         bc1=bc1, bc2=bc2,
@@ -765,6 +817,7 @@ def trace_batch(
                         flux_model=config.flux_model,
                         mfp=fused_mfp,
                         stream=not fits_vmem,
+                        ordered=fused_ordered,
                     )
                 )
                 # deposits accumulated in-kernel (sorted prim order) —
@@ -794,6 +847,40 @@ def trace_batch(
                 )
 
             return body_fused
+
+    # ---- source-coherence sort -------------------------------------------
+    # Random source origins give every ray tile a domain-sized bounding
+    # radius, which defeats the megakernel's per-tile front-to-back chunk
+    # traversal from bounce 0. Sorting the batch by source-plane Morton cell
+    # makes tiles spatially compact (deterministic per seed; deposits are
+    # order-independent sums, and each lane's uniforms remain i.i.d.).
+    if (
+        not differentiable
+        and _os.environ.get("VIENNARAY_TPU_SOURCE_SORT", "1") == "1"
+        and R >= 2048
+    ):
+        nb = 6  # 64x64 source-plane cells
+        c1 = jnp.clip(
+            ((org[:, first_dir] - lo1) / jnp.maximum(hi1 - lo1, 1e-30)
+             * (1 << nb)).astype(jnp.int32),
+            0, (1 << nb) - 1,
+        )
+        if dim == 3:
+            c2 = jnp.clip(
+                ((org[:, second_dir] - lo2) / jnp.maximum(hi2 - lo2, 1e-30)
+                 * (1 << nb)).astype(jnp.int32),
+                0, (1 << nb) - 1,
+            )
+            key_m = jnp.zeros_like(c1)
+            for bit in range(nb):
+                key_m = key_m | (((c1 >> bit) & 1) << (2 * bit))
+                key_m = key_m | (((c2 >> bit) & 1) << (2 * bit + 1))
+        else:
+            key_m = c1
+        take = jnp.argsort(key_m, stable=True)
+        org, dirn = org[take], dirn[take]
+        weight, w0 = weight[take], w0[take]
+        alive, aux0 = alive[take], aux0[take]
 
     state = (
         jnp.int32(0), org, dirn, weight, w0, alive, hit_from_back,
@@ -880,8 +967,13 @@ def trace_batch(
         (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux, flux,
          counters) = state
         if spatial_sort:
+            # position-major (16^3 cells), direction-octant minor: the
+            # megakernel's per-tile chunk ordering AND the deposit pass's
+            # sphere wake-up both key off ray ORIGINS, so clustering by
+            # position shrinks each tile's bounding radius first; the octant
+            # tiebreak aligns the box-exit search bounds within a cell
             cell = jnp.clip(
-                ((org - bb_lo) / bb_ext * 8.0).astype(jnp.int32), 0, 7
+                ((org - bb_lo) / bb_ext * 16.0).astype(jnp.int32), 0, 15
             )
             octant = (
                 (dirn[:, 0] > 0).astype(jnp.int32)
@@ -889,7 +981,8 @@ def trace_batch(
                 + 4 * (dirn[:, 2] > 0).astype(jnp.int32)
             )
             key_s = (
-                octant * 512 + cell[:, 0] * 64 + cell[:, 1] * 8 + cell[:, 2]
+                ((cell[:, 0] * 16 + cell[:, 1]) * 16 + cell[:, 2]) * 8
+                + octant
             )
             key_s = jnp.where(alive, key_s, jnp.int32(1 << 30))
             take = jnp.argsort(key_s, stable=True)[:cap]

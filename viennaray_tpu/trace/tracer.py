@@ -89,6 +89,11 @@ class _TraceBase:
             os.environ.get("VIENNARAY_TPU_BATCH", 2**17)
         )
         self._use_wdist = False
+        self._flux_model = "neighbor"
+        # f64 cross-batch flux accumulation, matching the reference GPU
+        # build's default-ON double precision (normKernels.cu:5-9,
+        # CMakeLists.txt:16)
+        self._accumulate_f64 = True
         self._print_progress = False
         self._log_fn = None
         self._collision_fn = None
@@ -155,6 +160,20 @@ class _TraceBase:
     def set_use_wdist(self, use: bool):
         self._use_wdist = bool(use)
 
+    def set_f64_accumulation(self, use: bool):
+        """Toggle float64 cross-batch flux accumulation (the analog of the
+        reference's VIENNARAY_GPU_DOUBLE_PRECISION, default ON). Per-batch
+        device sums stay f32 either way."""
+        self._accumulate_f64 = bool(use)
+
+    def set_flux_model(self, model: str):
+        """Disk flux deposit model: "neighbor" (CPU reference contract,
+        rayTraceKernel.hpp:255-300) or "window" (GPU candidate-window
+        contract, GeneralPipelineDisk.cu:51-59)."""
+        if model not in ("neighbor", "window"):
+            raise ValueError(f"unknown flux model {model!r}")
+        self._flux_model = model
+
     def enable_progress_bar(self):
         """(ref: rayTrace.hpp:69) — prints one line per mega-batch."""
         self._print_progress = True
@@ -214,6 +233,7 @@ class _TraceBase:
             primary_direction=self._primary_direction,
             ray_batch_size=self._ray_batch_size,
             use_wdist=self._use_wdist,
+            flux_model=self._flux_model,
         )
 
     def _base_seed(self) -> int:
@@ -266,7 +286,22 @@ class _TraceBase:
 
         batch = config.ray_batch_size
         num_batches = max(1, -(-total_rays // batch))
-        flux = jnp.zeros((n_prims,), jnp.float32)
+        # multi-channel local data: with a custom collision_fn and L > 1
+        # labels the flux is (L, N) (ref: gpu/raygTrace.hpp:97-99)
+        n_chan = (
+            len(self._particle.data_labels)
+            if self._collision_fn is not None
+            else 1
+        )
+        flux_shape = (n_chan, n_prims) if n_chan > 1 else (n_prims,)
+        flux = jnp.zeros(flux_shape, jnp.float32)
+        # f64 flux accumulation across mega-batches (the reference GPU build
+        # defaults to double precision, normKernels.cu:5-9 +
+        # CMakeLists.txt:16): per-batch sums stay f32 on device; the
+        # cross-batch accumulator is float64 on host so 1e8-ray campaigns
+        # don't lose low-weight deposits to f32 cancellation.
+        acc_f64 = self._accumulate_f64 and num_batches > 1
+        flux_host = np.zeros(flux_shape, np.float64) if acc_f64 else None
         totals = np.zeros(6, np.int64)
 
         t0 = time.perf_counter()
@@ -274,6 +309,11 @@ class _TraceBase:
             ray_indices = jnp.arange(b * batch, (b + 1) * batch, dtype=jnp.int32)
             valid = ray_indices < total_rays
             batch_key = jax.random.fold_in(base_key, b)
+            if acc_f64:
+                # fresh per-batch buffer; the f64 running sum lives on host
+                # (the per-batch counter fetch below already syncs, so this
+                # costs no extra round trip)
+                flux = jnp.zeros(flux_shape, jnp.float32)
             flux, counters, logs = _traced_batch(
                 geometry, source, self._particle, bbox_dev, batch_key,
                 ray_indices, valid, flux, config, geo_type,
@@ -284,6 +324,8 @@ class _TraceBase:
                 log_fn=self._log_fn,
             )
             totals += np.array([int(c) for c in counters], np.int64)
+            if acc_f64:
+                flux_host += np.asarray(flux, np.float64)
             if logs is not None:
                 rows = [np.asarray(r, np.float64) for r in logs]
                 if not self._data_log.data:
@@ -297,7 +339,8 @@ class _TraceBase:
                     f"({min((b + 1) * batch, total_rays)}/{total_rays} rays)",
                     flush=True,
                 )
-        flux.block_until_ready()
+        if not acc_f64:
+            flux.block_until_ready()
         elapsed = time.perf_counter() - t0
 
         self._info = TraceInfo(
@@ -311,19 +354,33 @@ class _TraceBase:
             time=elapsed,
         )
         self._run_number += 1  # (ref: rayTraceDisk.hpp:54)
-        return np.asarray(flux)
+        return flux_host if acc_f64 else np.asarray(flux)
 
     def _store_local_data(self, flux):
         """Accumulate into labelled channels; channels are keyed by label so
         multi-species runs (different particles, same tracer) keep separate
         flux rows like the GPU tracer's species x label buffer
-        (gpu/raygTrace.hpp:97-99)."""
-        for lbl in self._particle.data_labels:
+        (gpu/raygTrace.hpp:97-99).
+
+        Multi-channel particles (custom collision_fn + L > 1 data labels)
+        return (L, N) flux; channel i goes to label i, mirroring the
+        reference where each surfaceCollision writes its own labelled row
+        (rayParticle.hpp:60-66). A single-channel (N,) flux with several
+        labels fills channel 0 and leaves the rest zero — the reference's
+        untouched-channel behavior."""
+        labels = self._particle.data_labels
+        flux = np.asarray(flux)
+        if flux.ndim == 2 and flux.shape[0] == len(labels):
+            rows = [flux[i] for i in range(len(labels))]
+        else:
+            flat = flux.reshape(-1) if flux.ndim == 2 else flux
+            rows = [flat] + [np.zeros_like(flat) for _ in labels[1:]]
+        for lbl, row in zip(labels, rows):
             try:
                 idx = self._local_data.get_vector_data_index(lbl)
             except KeyError:
-                idx = self._local_data.add_vector_data(len(flux), lbl)
-            self._local_data.accumulate_vector(idx, flux)
+                idx = self._local_data.add_vector_data(len(row), lbl)
+            self._local_data.accumulate_vector(idx, row)
 
 
 class TraceDisk(_TraceBase):
