@@ -419,11 +419,10 @@ def _one_bounce(
             return c[0] < n_chunks
 
         def s_body(c):
-            j = c[0]
-            carry = c[1:]
+            j, tmax_live = c[0], c[1]
+            carry = c[2:]
             tmin = carry[0]
             idx = order_ref[0, 0, j]
-            tmax_live = jnp.max(jnp.where(alive, tmin, 0.0))
             brk = dbound_ref[0, 0, j] - drift > tmax_live
             if sweep_fetch is not None:
                 start, wait, block_of = sweep_fetch
@@ -446,16 +445,21 @@ def _one_bounce(
                 need, lambda cc: full(idx, blk_fn(), cc), lambda cc: cc,
                 carry,
             )
+            # the break bound only tightens when a chunk was tested
+            tmax2 = jnp.where(
+                need, jnp.max(jnp.where(alive, carry[0], 0.0)), tmax_live
+            )
             j2 = jnp.where(brk, jnp.int32(n_chunks), j + 1)
-            return (j2,) + carry
+            return (j2, tmax2) + carry
 
         j0 = jnp.where(any_alive, jnp.int32(0), jnp.int32(n_chunks))
+        tmax0 = jnp.max(jnp.where(alive, tmin0, 0.0))
         if sweep_fetch is not None:
             @pl.when(any_alive)
             def _():
                 sweep_fetch[0](0)  # warm-up: fetch order[0] into slot 0
-        out = jax.lax.while_loop(s_cond, s_body, (j0,) + init)
-        (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = out[1:]
+        out = jax.lax.while_loop(s_cond, s_body, (j0, tmax0) + init)
+        (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = out[2:]
     else:
 
         def body(i, carry):

@@ -40,6 +40,19 @@ import os as _os
 DEFAULT_PT = int(_os.environ.get("VIENNARAY_TPU_PT", "512"))
 
 
+def auto_pt(n_prims: int) -> int:
+    """Chunk width for a geometry of ``n_prims``: fewer, wider chunks once
+    the chunk count is large — each chunk-loop iteration costs ~1.4us of
+    Mosaic loop overhead (measured r3), so large geometries amortize it
+    (disk18k 253k -> 279k -> 296k rays/s at pt 512 -> 1024 -> 2048) while
+    small ones keep the finer skip granularity (the 3k-disk flagship loses
+    ~5% above 512). VIENNARAY_TPU_PT overrides."""
+    env = _os.environ.get("VIENNARAY_TPU_PT")
+    if env:
+        return int(env)
+    return 512 if n_prims <= 8192 else 2048
+
+
 def _morton3(c):
     """Interleave 3 x 21-bit cell coordinates into a 63-bit Morton code —
     chunks of consecutive codes are spatially COMPACT blocks, so a ray's
@@ -89,7 +102,7 @@ def _block_order(centers, cell, pad_to, sort_axis):
     return out.astype(np.int32)
 
 
-def pack_disk_prims(points, normals, radii, pad_to=DEFAULT_PT, sort_axis=2):
+def pack_disk_prims(points, normals, radii, pad_to=None, sort_axis=2):
     """Host-side SoA packing: Morton-compact chunks, source-side-first.
 
     Returns (prims (8, Npad) f32, perm (Npad,) int32 sorted->original,
@@ -99,6 +112,8 @@ def pack_disk_prims(points, normals, radii, pad_to=DEFAULT_PT, sort_axis=2):
     normals = np.asarray(normals, np.float32)
     radii = np.asarray(radii, np.float32)
     n = len(points)
+    if pad_to is None:
+        pad_to = auto_pt(n)
 
     if n > 0:
         cell = max(float(radii.max()) * 8.0, 1e-6)
@@ -216,7 +231,7 @@ def _kernel(org_ref, dir_ref, prims_ref, bb_ref, tmin_ref, idx_ref, *, pt,
 TRI_ROWS = 12
 
 
-def pack_triangle_prims(vertices, triangles, normals=None, pad_to=DEFAULT_PT,
+def pack_triangle_prims(vertices, triangles, normals=None, pad_to=None,
                         sort_axis=2):
     """SoA triangle packing: rows [v0(3) e1(3) e2(3) n(3)] -> (12, Npad),
     spatially sorted source-side-first like the disk packing. Rows 9-11 carry
@@ -229,6 +244,8 @@ def pack_triangle_prims(vertices, triangles, normals=None, pad_to=DEFAULT_PT,
     vertices = np.asarray(vertices, np.float32)
     triangles = np.asarray(triangles, np.int64)
     n = len(triangles)
+    if pad_to is None:
+        pad_to = auto_pt(n)
     v0 = vertices[triangles[:, 0]]
     v1 = vertices[triangles[:, 1]]
     v2 = vertices[triangles[:, 2]]
@@ -275,7 +292,7 @@ def pack_triangle_prims(vertices, triangles, normals=None, pad_to=DEFAULT_PT,
 LINE_ROWS = 6
 
 
-def pack_line_prims(p0, p1, normals, pad_to=DEFAULT_PT, sort_axis=1):
+def pack_line_prims(p0, p1, normals, pad_to=None, sort_axis=1):
     """SoA 2D line-segment packing: rows [p0x p0y ldx ldy nx ny] -> (6, Npad)
     in Morton-compact source-side-first chunk order (parity with the GPU
     line pipeline's custom prims, gpu/raygLineGeometry.hpp).
@@ -288,6 +305,8 @@ def pack_line_prims(p0, p1, normals, pad_to=DEFAULT_PT, sort_axis=1):
     p1 = np.asarray(p1, np.float32)
     normals = np.asarray(normals, np.float32)
     n = len(p0)
+    if pad_to is None:
+        pad_to = auto_pt(n)
 
     if n > 0:
         mid = 0.5 * (p0 + p1)
@@ -418,10 +437,16 @@ def _tri_kernel(org_ref, dir_ref, prims_ref, bb_ref, tmin_ref, idx_ref, *,
 )
 def triangle_nearest_hit_pallas(
     org, dirn, prims, perm=None, chunk_bbs=None, t_near=1e-4, rt=512,
-    pt=DEFAULT_PT, interpret=False,
+    pt=None, interpret=False,
 ):
     """Closest triangle hit via the fused kernel; same contract as the disk
     variant. prims: (9, Npad) from pack_triangle_prims."""
+    if pt is None:
+        pt = (
+            prims.shape[1] // chunk_bbs.shape[0]
+            if chunk_bbs is not None
+            else DEFAULT_PT
+        )
     R = org.shape[0]
     grid = (R // rt,)
     if chunk_bbs is None:
@@ -475,7 +500,7 @@ def triangle_nearest_hit_pallas(
 )
 def disk_nearest_hit_pallas(
     org, dirn, prims, perm=None, chunk_bbs=None, t_near=1e-4, rt=512,
-    pt=DEFAULT_PT, interpret=False,
+    pt=None, interpret=False,
 ):
     """Closest disk hit; org/dirn (R, 3) with R % rt == 0; prims (8, Npad).
 
@@ -483,6 +508,12 @@ def disk_nearest_hit_pallas(
     chunk_bbs: optional (Npad/pt, 8) chunk AABBs enabling the skip test.
     Returns (t (R,), prim (R,) int32 in ORIGINAL numbering, hit (R,) bool).
     """
+    if pt is None:
+        pt = (
+            prims.shape[1] // chunk_bbs.shape[0]
+            if chunk_bbs is not None
+            else DEFAULT_PT
+        )
     R = org.shape[0]
     grid = (R // rt,)
     if chunk_bbs is None:
