@@ -575,6 +575,43 @@ def _one_bounce(
     # collision-free iterations (wall ping-pong / escape-only rounds)
     any_collide = jnp.any(collide)
 
+    def run_deposit(dep_chunk, dep_bound):
+        """Run ``dep_chunk(idx)`` over every chunk that can receive a
+        deposit. Ordered mode walks the pass-1 distance order and breaks
+        once ``dbound[j] > dep_bound`` — chunks at least that far from
+        every entry origin are unreachable by this bounce's deposits (each
+        chunk's flux row is accumulated independently, so visit order never
+        changes the result bitwise). Unordered mode is the full Morton
+        sweep."""
+        if ordered:
+
+            def db_cond(c):
+                return c[0] < n_chunks
+
+            def db_body(c):
+                j = c[0]
+                idx = order_ref[0, 0, j]
+                brk = dbound_ref[0, 0, j] > dep_bound
+
+                @pl.when(~brk)
+                def _():
+                    dep_chunk(idx)
+
+                return (jnp.where(brk, jnp.int32(n_chunks), j + 1),)
+
+            @pl.when(any_collide)
+            def _():
+                jax.lax.while_loop(db_cond, db_body, (jnp.int32(0),))
+        else:
+
+            def fb(i, carry):
+                dep_chunk(i)
+                return carry
+
+            @pl.when(any_collide)
+            def _():
+                jax.lax.fori_loop(0, n_chunks, fb, 0)
+
     if "deposit" in _ablate:  # perf-ablation only: flux stays zero
         pass
     elif is_disk and flux_model == "neighbor":
@@ -584,7 +621,7 @@ def _one_bounce(
         qy = jnp.where(collide, hcy, BIG)
         qz = jnp.where(collide, hcz, BIG)
 
-        def dep_body(i, carry):
+        def dep_chunk(i):
             # chunk wake-up: does the 2r ball around any hit center touch
             # this chunk's (radius-inflated) AABB?
             ddx = jnp.maximum(
@@ -620,15 +657,24 @@ def _one_bounce(
                 dep = jnp.sum(depm.astype(jnp.float32) * wdep, axis=0)
                 flux_ref[pl.ds(i, 1), :] += dep[None, :]
 
-            return carry
-
-        @pl.when(any_collide)
-        def _():
-            jax.lax.fori_loop(0, npad // pt, dep_body, 0)
+        if ordered:
+            # deposits reach at most nbr past the hit centers; each center
+            # sits within ||q - o0|| of its lane's ENTRY origin, which the
+            # dbound distances are measured against
+            o0x, o0y, o0z = o0
+            qdisp = jnp.sqrt(
+                (qx - o0x) ** 2 + (qy - o0y) ** 2 + (qz - o0z) ** 2
+            )
+            dep_bound = jnp.max(
+                jnp.where(collide, qdisp, 0.0)
+            ) + jnp.sqrt(nbr2)
+        else:
+            dep_bound = None
+        run_deposit(dep_chunk, dep_bound)
     elif is_disk:  # "window" (GPU candidate-window semantics)
         tlim = jnp.where(collide, t_geo + tau, -BIG)
 
-        def dep_body(i, carry):
+        def dep_chunk(i):
             tlo, thi = chunk_slab(i)
             need = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo <= tlim))
 
@@ -641,11 +687,13 @@ def _one_bounce(
                 dep = jnp.sum(depm.astype(jnp.float32) * wdep, axis=0)
                 flux_ref[pl.ds(i, 1), :] += dep[None, :]
 
-            return carry
-
-        @pl.when(any_collide)
-        def _():
-            jax.lax.fori_loop(0, npad // pt, dep_body, 0)
+        if ordered:
+            # window deposits lie within tlim of the CURRENT origin, which
+            # has drifted at most ``drift`` from the entry origin
+            dep_bound = jnp.max(jnp.where(collide, tlim, 0.0)) + drift
+        else:
+            dep_bound = None
+        run_deposit(dep_chunk, dep_bound)
     else:  # triangle: single closest hit (rayTraceKernel.hpp:301-307)
 
         def dep_body(i, carry):
