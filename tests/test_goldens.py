@@ -34,13 +34,30 @@ def _rel_l2(a, b):
     return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
 
 
+def _check(norm, golden):
+    """Monte-Carlo-sized tolerance cross-backend; BITWISE on the golden's
+    own generation conditions (CPU backend, unfused path) — the trace is
+    deterministic there, so any drift beyond reordering means a physics
+    change (VERDICT r2 weak #8: 5% hides subtle drift)."""
+    assert _rel_l2(norm, golden) < 0.05
+    import jax
+
+    if (
+        jax.default_backend() == "cpu"
+        and os.environ.get("VIENNARAY_TPU_FUSED_INTERPRET") != "1"
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(norm, np.float32), np.asarray(golden, np.float32)
+        )
+
+
 def test_golden_trace2d():
     from benchmarks.make_goldens import config_trace2d
 
     golden, meta = _load("trace2d")
     t = config_trace2d()
     norm = t.normalize_flux(t.apply())
-    assert _rel_l2(norm, golden) < 0.05
+    _check(norm, golden)
 
 
 def test_golden_disk2d_trench():
@@ -49,7 +66,7 @@ def test_golden_disk2d_trench():
     golden, meta = _load("disk2d_trench")
     t = config_disk2d_trench()
     norm = t.normalize_flux(t.apply())
-    assert _rel_l2(norm, golden) < 0.05
+    _check(norm, golden)
 
 
 def test_golden_disk3d_trench():
@@ -58,4 +75,4 @@ def test_golden_disk3d_trench():
     golden, meta = _load("disk3d_trench")
     t = config_disk3d_trench()
     norm = t.smooth_flux(t.normalize_flux(t.apply()), 1)
-    assert _rel_l2(norm, golden) < 0.05
+    _check(norm, golden)
