@@ -42,15 +42,24 @@ from .kernel import trace_batch
     jax.jit,
     static_argnames=(
         "config", "geo_type", "collision_fn", "reflection_fn", "aux_init_fn",
-        "init_dir_fn", "log_fn",
+        "init_dir_fn", "log_fn", "kahan",
     ),
-    donate_argnums=(7,),
+    donate_argnums=(7, 8),
 )
 def _traced_batch(
     geometry, source, particle, bbox, batch_key, ray_indices, valid,
-    flux_acc, config, geo_type, collision_fn=None, reflection_fn=None,
-    aux_init_fn=None, init_dir_fn=None, log_fn=None,
+    flux_acc, flux_comp, config, geo_type, collision_fn=None,
+    reflection_fn=None, aux_init_fn=None, init_dir_fn=None, log_fn=None,
+    kahan=True,
 ):
+    """One traced mega-batch folded into the running flux accumulator.
+
+    ``kahan``: compensated (Kahan) summation across batches — the device-
+    side equivalent of the reference GPU build's f64 accumulation
+    (normKernels.cu:5-9): the error term keeps low-weight per-batch sums
+    from vanishing into f32 cancellation over 1e8-ray campaigns, with no
+    per-batch host round trip. The f64-quality total is recovered at the
+    end as float64(sum) + float64(comp)."""
     out = trace_batch(
         geometry, source, particle, bbox, batch_key, ray_indices, valid,
         config, geo_type, collision_fn=collision_fn,
@@ -59,9 +68,17 @@ def _traced_batch(
     )
     if log_fn is not None:
         flux, counters, logs = out
-        return flux_acc + flux, counters, logs
-    flux, counters = out
-    return flux_acc + flux, counters, None
+    else:
+        flux, counters = out
+        logs = None
+    if kahan:
+        y = flux + flux_comp  # comp carries the running error (negated)
+        t = flux_acc + y
+        comp_new = y - (t - flux_acc)
+        flux_acc, flux_comp = t, comp_new
+    else:
+        flux_acc = flux_acc + flux
+    return flux_acc, flux_comp, counters, logs
 
 
 class _TraceBase:
@@ -92,8 +109,10 @@ class _TraceBase:
         self._flux_model = "neighbor"
         # f64 cross-batch flux accumulation, matching the reference GPU
         # build's default-ON double precision (normKernels.cu:5-9,
-        # CMakeLists.txt:16)
-        self._accumulate_f64 = True
+        # CMakeLists.txt:16); env kill switch for A/B benchmarking
+        self._accumulate_f64 = (
+            os.environ.get("VIENNARAY_TPU_F64_ACCUM", "1") == "1"
+        )
         self._print_progress = False
         self._log_fn = None
         self._collision_fn = None
@@ -295,13 +314,13 @@ class _TraceBase:
         )
         flux_shape = (n_chan, n_prims) if n_chan > 1 else (n_prims,)
         flux = jnp.zeros(flux_shape, jnp.float32)
-        # f64 flux accumulation across mega-batches (the reference GPU build
-        # defaults to double precision, normKernels.cu:5-9 +
-        # CMakeLists.txt:16): per-batch sums stay f32 on device; the
-        # cross-batch accumulator is float64 on host so 1e8-ray campaigns
-        # don't lose low-weight deposits to f32 cancellation.
+        comp = jnp.zeros(flux_shape, jnp.float32)
+        # f64-equivalent flux accumulation across mega-batches (the
+        # reference GPU build defaults to double precision,
+        # normKernels.cu:5-9 + CMakeLists.txt:16): device-side Kahan
+        # summation — no per-batch host fetch — with the float64 total
+        # recovered at the end from (sum, comp).
         acc_f64 = self._accumulate_f64 and num_batches > 1
-        flux_host = np.zeros(flux_shape, np.float64) if acc_f64 else None
         totals = np.zeros(6, np.int64)
 
         t0 = time.perf_counter()
@@ -309,23 +328,17 @@ class _TraceBase:
             ray_indices = jnp.arange(b * batch, (b + 1) * batch, dtype=jnp.int32)
             valid = ray_indices < total_rays
             batch_key = jax.random.fold_in(base_key, b)
-            if acc_f64:
-                # fresh per-batch buffer; the f64 running sum lives on host
-                # (the per-batch counter fetch below already syncs, so this
-                # costs no extra round trip)
-                flux = jnp.zeros(flux_shape, jnp.float32)
-            flux, counters, logs = _traced_batch(
+            flux, comp, counters, logs = _traced_batch(
                 geometry, source, self._particle, bbox_dev, batch_key,
-                ray_indices, valid, flux, config, geo_type,
+                ray_indices, valid, flux, comp, config, geo_type,
                 collision_fn=self._collision_fn,
                 reflection_fn=self._reflection_fn,
                 aux_init_fn=self._aux_init_fn,
                 init_dir_fn=self._init_dir_fn,
                 log_fn=self._log_fn,
+                kahan=acc_f64,
             )
             totals += np.array([int(c) for c in counters], np.int64)
-            if acc_f64:
-                flux_host += np.asarray(flux, np.float64)
             if logs is not None:
                 rows = [np.asarray(r, np.float64) for r in logs]
                 if not self._data_log.data:
@@ -339,8 +352,7 @@ class _TraceBase:
                     f"({min((b + 1) * batch, total_rays)}/{total_rays} rays)",
                     flush=True,
                 )
-        if not acc_f64:
-            flux.block_until_ready()
+        flux.block_until_ready()
         elapsed = time.perf_counter() - t0
 
         self._info = TraceInfo(
@@ -354,7 +366,13 @@ class _TraceBase:
             time=elapsed,
         )
         self._run_number += 1  # (ref: rayTraceDisk.hpp:54)
-        return flux_host if acc_f64 else np.asarray(flux)
+        if acc_f64:
+            # compensated total: f64(sum) + f64(err) recovers the bits the
+            # f32 running sum rounded away
+            return (
+                np.asarray(flux, np.float64) + np.asarray(comp, np.float64)
+            )
+        return np.asarray(flux)
 
     def _store_local_data(self, flux):
         """Accumulate into labelled channels; channels are keyed by label so
