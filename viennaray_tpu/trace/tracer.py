@@ -78,7 +78,11 @@ def _traced_batch(
         flux_acc, flux_comp = t, comp_new
     else:
         flux_acc = flux_acc + flux
-    return flux_acc, flux_comp, counters, logs
+    # one stacked counter vector -> ONE host fetch per batch; fetching the
+    # six scalars separately cost six tunnel round trips (~0.1s/batch of
+    # pure RPC at the default batch size — measured, see BASELINE r3)
+    cnt_vec = jnp.stack(list(counters)).astype(jnp.int32)
+    return flux_acc, flux_comp, cnt_vec, logs
 
 
 class _TraceBase:
@@ -102,8 +106,12 @@ class _TraceBase:
         self._use_random_seed = True
         self._primary_direction = None
         self._run_number = 1
+        # mega-batch width: larger batches amortize per-batch fixed costs
+        # (source sampling/sort, compaction-ladder restart, per-batch sync)
+        # — measured r3 on the flagship trench: 470k (2^17) -> 711k (2^18)
+        # -> 939k rays/s (2^19); disk18k 286k -> 397k -> 479k
         self._ray_batch_size = int(
-            os.environ.get("VIENNARAY_TPU_BATCH", 2**17)
+            os.environ.get("VIENNARAY_TPU_BATCH", 2**19)
         )
         self._use_wdist = False
         self._flux_model = "neighbor"
@@ -303,7 +311,11 @@ class _TraceBase:
         base_key = jax.random.PRNGKey(self._base_seed())
         bbox_dev = jnp.asarray(adjusted, jnp.float32)
 
-        batch = config.ray_batch_size
+        # clamp the batch to the ray count (padded to the 512-lane tile
+        # floor) so small runs don't trace a mostly-dead mega-batch
+        batch = min(
+            config.ray_batch_size, max(512, -(-total_rays // 512) * 512)
+        )
         num_batches = max(1, -(-total_rays // batch))
         # multi-channel local data: with a custom collision_fn and L > 1
         # labels the flux is (L, N) (ref: gpu/raygTrace.hpp:97-99)
@@ -338,7 +350,7 @@ class _TraceBase:
                 log_fn=self._log_fn,
                 kahan=acc_f64,
             )
-            totals += np.array([int(c) for c in counters], np.int64)
+            totals += np.asarray(counters, np.int64)
             if logs is not None:
                 rows = [np.asarray(r, np.float64) for r in logs]
                 if not self._data_log.data:
