@@ -311,10 +311,13 @@ class _TraceBase:
         base_key = jax.random.PRNGKey(self._base_seed())
         bbox_dev = jnp.asarray(adjusted, jnp.float32)
 
-        # clamp the batch to the ray count (padded to the 512-lane tile
-        # floor) so small runs don't trace a mostly-dead mega-batch
+        # clamp the batch to the next power of two >= the ray count (floor
+        # 512) so small runs don't trace a mostly-dead mega-batch while
+        # kernel SHAPES stay shared across ray counts (each distinct batch
+        # width costs a fresh ladder compile through the tunnel)
         batch = min(
-            config.ray_batch_size, max(512, -(-total_rays // 512) * 512)
+            config.ray_batch_size,
+            max(512, 1 << (max(total_rays, 2) - 1).bit_length()),
         )
         num_batches = max(1, -(-total_rays // batch))
         # multi-channel local data: with a custom collision_fn and L > 1
