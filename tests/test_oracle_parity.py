@@ -19,9 +19,18 @@ from viennaray_tpu.io import fixtures
 
 from oracle_ref import available, trace_disks_oracle
 
-pytestmark = pytest.mark.skipif(
-    not available(), reason="oracle build unavailable"
-)
+import os
+
+pytestmark = [
+    pytest.mark.skipif(not available(), reason="oracle build unavailable"),
+    # the parity contract is about trace SEMANTICS; the default (unfused)
+    # leg covers it. Interpret-mode megakernels at 131k rays are
+    # prohibitively slow for the fused-interpret CI leg.
+    pytest.mark.skipif(
+        os.environ.get("VIENNARAY_TPU_FUSED_INTERPRET") == "1",
+        reason="oracle parity runs on the unfused leg",
+    ),
+]
 
 BATCH = 32768
 
