@@ -76,9 +76,25 @@ def config_disk3d_trench():
     return t
 
 
+def _cpu_fingerprint():
+    """Same host fingerprint as viennaray_tpu/__init__: XLA:CPU codegen
+    (FMA contraction etc.) can differ across microarchs, so the BITWISE
+    golden check only applies on the generation host type."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "generic"
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
-    manifest = {}
+    manifest = {"_cpu_fingerprint": _cpu_fingerprint()}
     for name, make in [
         ("trace2d", config_trace2d),
         ("disk2d_trench", config_disk2d_trench),

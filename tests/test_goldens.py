@@ -42,9 +42,14 @@ def _check(norm, golden):
     assert _rel_l2(norm, golden) < 0.05
     import jax
 
+    with open(os.path.join(GOLDEN_DIR, "manifest.json")) as f:
+        gen_fp = json.load(f).get("_cpu_fingerprint")
+    from benchmarks.make_goldens import _cpu_fingerprint
+
     if (
         jax.default_backend() == "cpu"
         and os.environ.get("VIENNARAY_TPU_FUSED_INTERPRET") != "1"
+        and gen_fp == _cpu_fingerprint()  # XLA:CPU codegen is per-microarch
     ):
         np.testing.assert_array_equal(
             np.asarray(norm, np.float32), np.asarray(golden, np.float32)
