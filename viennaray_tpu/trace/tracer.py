@@ -109,9 +109,10 @@ class _TraceBase:
         # mega-batch width: larger batches amortize per-batch fixed costs
         # (source sampling/sort, compaction-ladder restart, per-batch sync)
         # — measured r3 on the flagship trench: 470k (2^17) -> 711k (2^18)
-        # -> 939k rays/s (2^19); disk18k 286k -> 397k -> 479k
+        # -> 939k rays/s (2^19) -> 1.35M (2^20, with the stacked counter
+        # fetch); disk18k 286k -> 397k -> 479k -> 561k
         self._ray_batch_size = int(
-            os.environ.get("VIENNARAY_TPU_BATCH", 2**19)
+            os.environ.get("VIENNARAY_TPU_BATCH", 2**20)
         )
         self._use_wdist = False
         self._flux_model = "neighbor"
