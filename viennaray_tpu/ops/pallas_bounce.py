@@ -204,9 +204,9 @@ def _one_bounce(
     state, u, get_block, bb_ref, walls_ref, stick_ref, flux_ref,
     *, pt, npad, t_near, dim, first_dir, second_dir, ray_axis, bc1, bc2,
     refl_kind, use_skip, max_bounces_cfg, max_bdry, wthresh, wrenew, roulette,
-    per_mat, geo_kind, flux_model, mfp,
+    per_mat, geo_kind, flux_model, mfp, mxu_pick=True,
     ordered=False, order_ref=None, dbound_ref=None, o0=None, sub_k=0,
-    sweep_fetch=None,
+    sweep_fetch=None, dep_fetch=None,
 ):
     """One full bounce on column-vector state; returns (state', stats).
 
@@ -221,8 +221,10 @@ def _one_bounce(
     j's Euclidean distance lower bound ``dbound[j] - drift`` (drift = max
     live-lane movement since kernel entry, exact for sub-bounces > 0) is
     nondecreasing in j, so once it exceeds every live lane's current search
-    bound no remaining chunk can improve any hit. ``sweep_fetch`` (streamed
-    only) provides (start, wait) for double-buffered chunk DMA."""
+    bound no remaining chunk can improve any hit. ``sweep_fetch`` /
+    ``dep_fetch`` (streamed only) provide (start, wait, block_of) triples
+    for double-buffered chunk DMA in the pass-1 sweep and the deposit
+    pass."""
     (ox, oy, oz, dx, dy, dz, weight, w0, alive, hfb, n_refl, n_bdry) = state
     rt = ox.shape[0]
     # Mosaic requires integer iota; cast after (f32 holds lanes exactly
@@ -370,18 +372,57 @@ def _one_bounce(
         glane = lmin + (i * pt).astype(jnp.float32)
         take = (cmin < tmin) | ((cmin == tmin) & (glane < hlane))
         upd = lambda new, old: jnp.where(take, new, old)
+        if mxu_pick:
+            # ONE one-hot MXU contraction selects every per-prim field of
+            # the winning lane at once, replacing 2 full-width VPU ops per
+            # field (where + lane reduction). BITWISE exact: each sel row
+            # has exactly one nonzero (the lexicographic (t, lane) winner),
+            # so the contraction's sum reconstructs the f32 value exactly —
+            # the bf16x3/x6 decomposition of x against a 1.0 one-hot yields
+            # x's disjoint-mantissa pieces, whose f32 accumulation is
+            # rounding-free (validated bitwise vs the VPU picks in
+            # tests/test_round3_features.py).
+            selm = jnp.where(sel, 1.0, 0.0)
+            picks = jax.lax.dot_general(
+                selm, block,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (rt, rows): the block's SoA rows, hit-lane selected
+            if is_disk:
+                p_nx, p_ny, p_nz = (
+                    picks[:, 3:4], picks[:, 4:5], picks[:, 5:6]
+                )
+                p_cx, p_cy, p_cz = (
+                    picks[:, 0:1], picks[:, 1:2], picks[:, 2:3]
+                )
+            elif geo_kind == "line":
+                p_nx, p_ny = picks[:, 4:5], picks[:, 5:6]
+                p_nz = jnp.zeros((rt, 1), jnp.float32)
+                p_cx = p_cy = p_cz = None
+            else:  # triangle: stored unit normals in rows 9-11
+                p_nx, p_ny, p_nz = (
+                    picks[:, 9:10], picks[:, 10:11], picks[:, 11:12]
+                )
+                p_cx = p_cy = p_cz = None
+        else:
+            p_nx, p_ny, p_nz = pick(sel, nx), pick(sel, ny), pick(sel, nz)
+            if is_disk:
+                p_cx, p_cy, p_cz = pick(sel, cx), pick(sel, cy), pick(sel, cz)
+            else:
+                p_cx = p_cy = p_cz = None
         out = (
             upd(cmin, tmin),
             upd(glane, hlane),
-            upd(pick(sel, nx), nbx),
-            upd(pick(sel, ny), nby),
-            upd(pick(sel, nz), nbz),
+            upd(p_nx, nbx),
+            upd(p_ny, nby),
+            upd(p_nz, nbz),
         )
         if is_disk:
             out += (
-                upd(pick(sel, cx), hcx),
-                upd(pick(sel, cy), hcy),
-                upd(pick(sel, cz), hcz),
+                upd(p_cx, hcx),
+                upd(p_cy, hcy),
+                upd(p_cz, hcz),
             )
         else:
             out += (hcx, hcy, hcz)
@@ -576,13 +617,15 @@ def _one_bounce(
     any_collide = jnp.any(collide)
 
     def run_deposit(dep_chunk, dep_bound):
-        """Run ``dep_chunk(idx)`` over every chunk that can receive a
-        deposit. Ordered mode walks the pass-1 distance order and breaks
+        """Run ``dep_chunk(idx, blk_fn)`` over every chunk that can receive
+        a deposit. Ordered mode walks the pass-1 distance order and breaks
         once ``dbound[j] > dep_bound`` — chunks at least that far from
         every entry origin are unreachable by this bounce's deposits (each
         chunk's flux row is accumulated independently, so visit order never
         changes the result bitwise). Unordered mode is the full Morton
-        sweep."""
+        sweep. On the streamed ordered path chunk DMA is double-buffered
+        (``dep_fetch``): chunk order[j+1]'s fetch runs behind chunk
+        order[j]'s wake test + deposit."""
         if ordered:
 
             def db_cond(c):
@@ -592,20 +635,33 @@ def _one_bounce(
                 j = c[0]
                 idx = order_ref[0, 0, j]
                 brk = dbound_ref[0, 0, j] > dep_bound
+                if dep_fetch is not None:
+                    start, wait, block_of = dep_fetch
+
+                    @pl.when((~brk) & (j + 1 < n_chunks))
+                    def _():
+                        start(j + 1)  # prefetch the next chunk in order
+
+                    wait(j)  # drain the in-flight DMA even on break
+                    blk_fn = lambda: block_of(j)
+                else:
+                    blk_fn = lambda: get_block(idx)
 
                 @pl.when(~brk)
                 def _():
-                    dep_chunk(idx)
+                    dep_chunk(idx, blk_fn)
 
                 return (jnp.where(brk, jnp.int32(n_chunks), j + 1),)
 
             @pl.when(any_collide)
             def _():
+                if dep_fetch is not None:
+                    dep_fetch[0](0)  # warm-up: fetch order[0] into slot 0
                 jax.lax.while_loop(db_cond, db_body, (jnp.int32(0),))
         else:
 
             def fb(i, carry):
-                dep_chunk(i)
+                dep_chunk(i, lambda: get_block(i))
                 return carry
 
             @pl.when(any_collide)
@@ -621,7 +677,7 @@ def _one_bounce(
         qy = jnp.where(collide, hcy, BIG)
         qz = jnp.where(collide, hcz, BIG)
 
-        def dep_chunk(i):
+        def dep_chunk(i, blk_fn):
             # chunk wake-up: does the 2r ball around any hit center touch
             # this chunk's (radius-inflated) AABB?
             ddx = jnp.maximum(
@@ -638,7 +694,7 @@ def _one_bounce(
             @pl.when(need)
             def _():
                 t, denom, dist2, r2, _, _, _, cx, cy, cz, _ = _disk_chunk(
-                    get_block(i), i, pt, ox, oy, oz, dx, dy, dz, stick_ref,
+                    blk_fn(), i, pt, ox, oy, oz, dx, dy, dz, stick_ref,
                     False,
                 )
                 cdx = cx - qx
@@ -674,13 +730,13 @@ def _one_bounce(
     elif is_disk:  # "window" (GPU candidate-window semantics)
         tlim = jnp.where(collide, t_geo + tau, -BIG)
 
-        def dep_chunk(i):
+        def dep_chunk(i, blk_fn):
             tlo, thi = chunk_slab(i)
             need = jnp.any((thi >= tlo) & (thi > 0.0) & (tlo <= tlim))
 
             @pl.when(need)
             def _():
-                tt, *_ = hit_test(i)
+                tt, *_ = hit_test_block(i, blk_fn())
                 # inclusive: the primary hit (t == t_geo) always deposits,
                 # even with a zero window
                 depm = tt <= tlim
@@ -861,16 +917,16 @@ def _bounce_kernel(
     d = dir_ref[:]
     rt = o.shape[0]
 
-    sweep_fetch = None
+    sweep_fetch = dep_fetch = None
     if stream:
         # HBM-resident geometry: fetch chunks into VMEM scratch on demand.
         # The chunk loops only touch geometry when the slab/sphere wake-up
         # test passes, so coherent ray tiles DMA only the few chunks around
         # their hits — the streaming analog of BVH descent.
         if ordered:
-            # double-buffered sweep: chunk order[j+1]'s DMA runs behind
-            # chunk order[j]'s test; a separate slot serves the deposit pass
-            sweep_scratch, sweep_sems, dep_scratch, dep_sem = scratch
+            # double-buffered sweep AND deposit: chunk order[j+1]'s DMA runs
+            # behind chunk order[j]'s test in both passes
+            sweep_scratch, sweep_sems, dep_scratch, dep_sems = scratch
 
             def _sweep_dma(j):
                 idx = order_ref[0, 0, j]
@@ -885,16 +941,43 @@ def _bounce_kernel(
                 lambda j: _sweep_dma(j).wait(),
                 lambda j: sweep_scratch[j % 2],
             )
+
+            def _dep_dma(j):
+                idx = order_ref[0, 0, j]
+                return pltpu.make_async_copy(
+                    prims_ref.at[:, pl.ds(idx * pt, pt)],
+                    dep_scratch.at[j % 2],
+                    dep_sems.at[j % 2],
+                )
+
+            dep_fetch = (
+                lambda j: _dep_dma(j).start(),
+                lambda j: _dep_dma(j).wait(),
+                lambda j: dep_scratch[j % 2],
+            )
+
+            def get_block(i):
+                # blocking single-slot fallback (unused on the hot paths:
+                # pass 1 rides sweep_fetch, deposits ride dep_fetch)
+                dma = pltpu.make_async_copy(
+                    prims_ref.at[:, pl.ds(i * pt, pt)],
+                    dep_scratch.at[0],
+                    dep_sems.at[0],
+                )
+                dma.start()
+                dma.wait()
+                return dep_scratch[0]
+
         else:
             dep_scratch, dep_sem = scratch
 
-        def get_block(i):
-            dma = pltpu.make_async_copy(
-                prims_ref.at[:, pl.ds(i * pt, pt)], dep_scratch, dep_sem
-            )
-            dma.start()
-            dma.wait()
-            return dep_scratch[:]
+            def get_block(i):
+                dma = pltpu.make_async_copy(
+                    prims_ref.at[:, pl.ds(i * pt, pt)], dep_scratch, dep_sem
+                )
+                dma.start()
+                dma.wait()
+                return dep_scratch[:]
 
     else:
 
@@ -925,6 +1008,7 @@ def _bounce_kernel(
             state, u, get_block, bb_ref, walls_ref, stick_ref,
             flux_out, pt=pt, ordered=ordered, order_ref=order_ref,
             dbound_ref=dbound_ref, o0=o0, sub_k=k, sweep_fetch=sweep_fetch,
+            dep_fetch=dep_fetch,
             **kw
         )
         st = [a + b for a, b in zip(st, stats)]
@@ -955,7 +1039,7 @@ def _bounce_kernel(
         "t_near", "rt", "pt", "dim", "first_dir", "second_dir", "ray_axis",
         "bc1", "bc2", "refl_kind", "max_bounces_cfg", "max_bdry", "wthresh",
         "wrenew", "roulette", "interpret", "n_sub", "per_mat", "geo_kind",
-        "flux_model", "mfp", "stream", "ordered",
+        "flux_model", "mfp", "stream", "ordered", "mxu_pick",
     ),
 )
 def fused_bounce(
@@ -966,7 +1050,7 @@ def fused_bounce(
     refl_kind=ReflectionKind.DIFFUSE, max_bounces_cfg=2**30, max_bdry=1000,
     wthresh=0.1, wrenew=0.3, roulette=True, interpret=False, n_sub=1,
     per_mat=False, geo_kind="disk", flux_model="neighbor", mfp=-1.0,
-    stream=False, ordered=True,
+    stream=False, ordered=True, mxu_pick=None,
 ):
     """Run ``n_sub`` fused bounces for all rays.
 
@@ -1023,6 +1107,18 @@ def fused_bounce(
         wthresh=float(wthresh), wrenew=float(wrenew), roulette=bool(roulette),
         per_mat=bool(per_mat), geo_kind=str(geo_kind),
         flux_model=str(flux_model), mfp=float(mfp),
+        # default OFF: measured a PESSIMIZATION on v5e (disk3d 1.376M ->
+        # 1.230M, disk18k 572k -> 489k rays/s) — the (rt,pt)x(rows,pt)
+        # transposed-rhs contraction schedules worse under Mosaic than the
+        # 12 VPU ops it replaces, same pattern as the deferred hit-selection
+        # (NOTES.md round 2). Kept behind the flag: it is bitwise-exact
+        # (tests/test_round3_features.py) and future Mosaic versions may
+        # schedule it better.
+        mxu_pick=(
+            _os.environ.get("VIENNARAY_TPU_MXU_PICK", "0") == "1"
+            if mxu_pick is None
+            else bool(mxu_pick)
+        ),
     )
     vspec = lambda c: pl.BlockSpec(
         (rt, c), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -1034,12 +1130,12 @@ def fused_bounce(
         # geometry stays in HBM
         prims_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         if ordered:
-            # double-buffered sweep slots + a deposit slot
+            # double-buffered sweep slots + double-buffered deposit slots
             scratch_shapes = [
                 pltpu.VMEM((2, prims.shape[0], pt), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((prims.shape[0], pt), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, prims.shape[0], pt), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
             scratch_shapes = [
