@@ -34,19 +34,23 @@ import numpy as np
 
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax_trace"
+    # optional: grid_delta + rays/point (default = the 18k-disk config;
+    # `0.25 2000` profiles the flagship bench config)
+    grid_delta = float(sys.argv[2]) if len(sys.argv) > 2 else 0.1
+    rays_pp = int(sys.argv[3]) if len(sys.argv) > 3 else 50
     import jax
 
     import viennaray_tpu as vrt
     from viennaray_tpu.io import fixtures
 
     pts, nrm = fixtures.create_trench_grid_3d(
-        grid_delta=0.1, extent=5.0, trench_width=4.0, trench_depth=4.0
+        grid_delta=grid_delta, extent=5.0, trench_width=4.0, trench_depth=4.0
     )
     t = vrt.TraceDisk(dim=3)
-    t.set_geometry(pts, nrm, 0.1)
+    t.set_geometry(pts, nrm, grid_delta)
     t.set_boundary_conditions([vrt.BoundaryCondition.PERIODIC] * 3)
     t.set_particle_type(vrt.DiffuseParticle(0.1, "flux"))
-    t.set_number_of_rays_per_point(50)
+    t.set_number_of_rays_per_point(rays_pp)
     t.set_rng_seed(42)
     t.apply()  # warm (compile outside the trace)
     with jax.profiler.trace(outdir):
