@@ -57,9 +57,28 @@ def main():
     info = tracer.get_ray_trace_info()
     rays_per_s = info.num_rays / elapsed
 
-    # sanity: flux must be a real trench profile
-    norm = tracer.normalize_flux(flux)
-    ok = bool(np.isfinite(norm).all() and norm.max() > 0)
+    # physics certification (VERDICT r3 item 2): normalized flux must match
+    # the CPU-generated golden (benchmarks/make_bench_golden.py — the
+    # UNFUSED XLA path with an independent RNG schedule) within a
+    # Monte-Carlo-sized rel-L2 tolerance. Two independent 2000-rays/pt runs
+    # differ by ~1-2% rel-L2; 5% catches any real physics break while
+    # leaving MC-noise headroom. ok = finite AND positive AND parity.
+    norm = np.asarray(tracer.normalize_flux(flux), np.float64)
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "golden", "bench_disk3d.npy",
+    )
+    parity = None
+    if os.path.exists(golden_path) and not os.environ.get("BENCH_SKIP_GOLDEN"):
+        golden = np.asarray(np.load(golden_path), np.float64)
+        parity = float(
+            np.linalg.norm(norm - golden) / max(np.linalg.norm(golden), 1e-12)
+        )
+    ok = bool(
+        np.isfinite(norm).all()
+        and norm.max() > 0
+        and (parity is None or parity < 0.05)
+    )
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -91,7 +110,8 @@ def main():
         f"batch={tracer._ray_batch_size} "
         f"ordered={os.environ.get('VIENNARAY_TPU_ORDERED', '1')} "
         f"rt={os.environ.get('VIENNARAY_TPU_RT', '256')} "
-        f"flux_sum={float(np.asarray(flux, np.float64).sum()):.6g}"
+        f"flux_sum={float(np.asarray(flux, np.float64).sum()):.6g} "
+        f"golden_rel_l2={'%.4f' % parity if parity is not None else 'n/a'}"
     )
     print(
         json.dumps(

@@ -94,7 +94,22 @@ def _cpu_fingerprint():
 
 def main():
     os.makedirs(OUT, exist_ok=True)
-    manifest = {"_cpu_fingerprint": _cpu_fingerprint()}
+    # Golden trajectories depend on compaction order (RNG consumption is
+    # per-slot, not per-ray), so the defaults that shape the ladder are
+    # recorded here: a default flip that silently invalidates the goldens
+    # becomes detectable instead of inferred (ADVICE r3).
+    manifest = {
+        "_cpu_fingerprint": _cpu_fingerprint(),
+        "_defaults": {
+            "compact_sort": os.environ.get(
+                "VIENNARAY_TPU_COMPACT_SORT", "spatial"
+            ),
+            "source_sort": os.environ.get("VIENNARAY_TPU_SOURCE_SORT", "1"),
+            "stage_shrink": os.environ.get("VIENNARAY_TPU_STAGE_SHRINK", "2"),
+            "batch_size": 16384,  # set per-config below
+            "f64_accum": os.environ.get("VIENNARAY_TPU_F64_ACCUM", "1"),
+        },
+    }
     for name, make in [
         ("trace2d", config_trace2d),
         ("disk2d_trench", config_disk2d_trench),

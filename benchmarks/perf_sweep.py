@@ -186,6 +186,11 @@ def main():
             "num_rays": int(info.num_rays),
             "geometry_hits": int(info.geometry_hits),
             "flux_sum": fsum,
+            # traversal diagnostics (BVH nodes-visited analog): chunks whose
+            # pass-1 / deposit wake test fired, per tile-sub-bounce totals
+            "chunks_swept": int(info.chunks_swept),
+            "chunks_deposited": int(info.chunks_deposited),
+            "total_traces": int(info.total_rays_traced),
         }
         results[name] = row
         print(json.dumps({"config": name, **row}), flush=True)

@@ -41,6 +41,11 @@ class TraceInfo:
     time: float = 0.0
     warning: bool = False
     error: bool = False
+    # fused-megakernel traversal diagnostics (BVH nodes-visited analog):
+    # geometry chunks whose pass-1 sweep / deposit-pass wake test fired,
+    # summed over ray tiles and bounces; zero on the unfused path
+    chunks_swept: int = 0
+    chunks_deposited: int = 0
 
 
 class TracingData:

@@ -293,9 +293,6 @@ def _one_bounce(
         tt = jnp.where(valid, t, BIG)
         return tt, nx, ny, nz, cx, cy, cz, stk
 
-    def hit_test(i):
-        return hit_test_block(i, get_block(i))
-
     # ---- pass 1: nearest hit with unique-lane selection ------------------
     # Tie-break: lowest GLOBAL sorted-lane index (lexicographic on (t, lane)),
     # so the result is independent of chunk visit order. Deterministic;
@@ -375,13 +372,16 @@ def _one_bounce(
         if mxu_pick:
             # ONE one-hot MXU contraction selects every per-prim field of
             # the winning lane at once, replacing 2 full-width VPU ops per
-            # field (where + lane reduction). BITWISE exact: each sel row
-            # has exactly one nonzero (the lexicographic (t, lane) winner),
-            # so the contraction's sum reconstructs the f32 value exactly —
-            # the bf16x3/x6 decomposition of x against a 1.0 one-hot yields
-            # x's disjoint-mantissa pieces, whose f32 accumulation is
-            # rounding-free (validated bitwise vs the VPU picks in
-            # tests/test_round3_features.py).
+            # field (where + lane reduction). Each sel row has exactly one
+            # nonzero (the lexicographic (t, lane) winner), so the
+            # contraction's sum reconstructs the f32 value — validated
+            # BITWISE in interpret mode (tests/test_round3_features.py,
+            # plain f32 dot there) and ARGUED exact on the real MXU: the
+            # Precision.HIGHEST bf16x6 decomposition of x against a 1.0
+            # one-hot yields disjoint-mantissa pieces whose f32 accumulation
+            # is rounding-free, unless a low-order split piece flushes as a
+            # bf16 subnormal. Run a hardware bitwise check before ever
+            # flipping the default ON.
             selm = jnp.where(sel, 1.0, 0.0)
             picks = jax.lax.dot_general(
                 selm, block,
@@ -460,8 +460,8 @@ def _one_bounce(
             return c[0] < n_chunks
 
         def s_body(c):
-            j, tmax_live = c[0], c[1]
-            carry = c[2:]
+            j, tmax_live, nt = c[0], c[1], c[2]
+            carry = c[3:]
             tmin = carry[0]
             idx = order_ref[0, 0, j]
             brk = dbound_ref[0, 0, j] - drift > tmax_live
@@ -491,7 +491,7 @@ def _one_bounce(
                 need, jnp.max(jnp.where(alive, carry[0], 0.0)), tmax_live
             )
             j2 = jnp.where(brk, jnp.int32(n_chunks), j + 1)
-            return (j2, tmax2) + carry
+            return (j2, tmax2, nt + jnp.where(need, 1.0, 0.0)) + carry
 
         j0 = jnp.where(any_alive, jnp.int32(0), jnp.int32(n_chunks))
         tmax0 = jnp.max(jnp.where(alive, tmin0, 0.0))
@@ -499,11 +499,16 @@ def _one_bounce(
             @pl.when(any_alive)
             def _():
                 sweep_fetch[0](0)  # warm-up: fetch order[0] into slot 0
-        out = jax.lax.while_loop(s_cond, s_body, (j0, tmax0) + init)
-        (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = out[2:]
+        out = jax.lax.while_loop(
+            s_cond, s_body, (j0, tmax0, jnp.float32(0.0)) + init
+        )
+        n_swept = out[2]
+        (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = out[3:]
     else:
 
-        def body(i, carry):
+        def body(i, c):
+            nt = c[0]
+            carry = c[1:]
             tmin = carry[0]
             tlo, thi = chunk_slab(i)
             need = jnp.any(
@@ -514,12 +519,15 @@ def _one_bounce(
                 return full(i, get_block(i), cc)
 
             if use_skip:
-                return jax.lax.cond(need, run, lambda c: c, carry)
-            return run(carry)
+                carry = jax.lax.cond(need, run, lambda c: c, carry)
+                return (nt + jnp.where(need, 1.0, 0.0),) + carry
+            return (nt + 1.0,) + run(carry)
 
-        (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = (
-            jax.lax.fori_loop(0, n_chunks, body, init)
+        out = jax.lax.fori_loop(
+            0, n_chunks, body, (jnp.float32(0.0),) + init
         )
+        n_swept = out[0]
+        (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = out[1:]
     hit_geo = h_lane < BIGLANE
 
     t_geo_m = jnp.where(hit_geo, t_geo, BIG)
@@ -617,22 +625,26 @@ def _one_bounce(
     any_collide = jnp.any(collide)
 
     def run_deposit(dep_chunk, dep_bound):
-        """Run ``dep_chunk(idx, blk_fn)`` over every chunk that can receive
-        a deposit. Ordered mode walks the pass-1 distance order and breaks
+        """Run ``dep_chunk(idx, blk_fn) -> woke`` over every chunk that can
+        receive a deposit; returns the number of chunks whose wake test
+        fired. Ordered mode walks the pass-1 distance order and breaks
         once ``dbound[j] > dep_bound`` — chunks at least that far from
         every entry origin are unreachable by this bounce's deposits (each
         chunk's flux row is accumulated independently, so visit order never
         changes the result bitwise). Unordered mode is the full Morton
         sweep. On the streamed ordered path chunk DMA is double-buffered
         (``dep_fetch``): chunk order[j+1]'s fetch runs behind chunk
-        order[j]'s wake test + deposit."""
+        order[j]'s wake test + deposit. NOTE (streamed): the prefetch
+        cannot see the wake test, so every ordered chunk up to the break is
+        DMA'd even when few deposit — extra HBM traffic on sparse-deposit
+        tiles, hidden only while compute covers it."""
         if ordered:
 
             def db_cond(c):
                 return c[0] < n_chunks
 
             def db_body(c):
-                j = c[0]
+                j, nd = c
                 idx = order_ref[0, 0, j]
                 brk = dbound_ref[0, 0, j] > dep_bound
                 if dep_fetch is not None:
@@ -647,29 +659,36 @@ def _one_bounce(
                 else:
                     blk_fn = lambda: get_block(idx)
 
-                @pl.when(~brk)
+                nd = jax.lax.cond(
+                    brk, lambda: nd, lambda: nd + dep_chunk(idx, blk_fn)
+                )
+                return (jnp.where(brk, jnp.int32(n_chunks), j + 1), nd)
+
+            if dep_fetch is not None:
+                @pl.when(any_collide)
                 def _():
-                    dep_chunk(idx, blk_fn)
-
-                return (jnp.where(brk, jnp.int32(n_chunks), j + 1),)
-
-            @pl.when(any_collide)
-            def _():
-                if dep_fetch is not None:
                     dep_fetch[0](0)  # warm-up: fetch order[0] into slot 0
-                jax.lax.while_loop(db_cond, db_body, (jnp.int32(0),))
+
+            jd0 = jnp.where(any_collide, jnp.int32(0), jnp.int32(n_chunks))
+            out = jax.lax.while_loop(
+                db_cond, db_body, (jd0, jnp.float32(0.0))
+            )
+            return out[1]
         else:
 
-            def fb(i, carry):
-                dep_chunk(i, lambda: get_block(i))
-                return carry
+            def fb(i, nd):
+                return nd + dep_chunk(i, lambda: get_block(i))
 
-            @pl.when(any_collide)
-            def _():
-                jax.lax.fori_loop(0, n_chunks, fb, 0)
+            return jax.lax.cond(
+                any_collide,
+                lambda: jax.lax.fori_loop(
+                    0, n_chunks, fb, jnp.float32(0.0)
+                ),
+                lambda: jnp.float32(0.0),
+            )
 
     if "deposit" in _ablate:  # perf-ablation only: flux stays zero
-        pass
+        n_dep = jnp.float32(0.0)
     elif is_disk and flux_model == "neighbor":
         # CPU neighbor-list contract; hit centers masked to far away for
         # non-colliding rays so their sphere test never wakes a chunk
@@ -713,6 +732,8 @@ def _one_bounce(
                 dep = jnp.sum(depm.astype(jnp.float32) * wdep, axis=0)
                 flux_ref[pl.ds(i, 1), :] += dep[None, :]
 
+            return jnp.where(need, 1.0, 0.0)
+
         if ordered:
             # deposits reach at most nbr past the hit centers; each center
             # sits within ||q - o0|| of its lane's ENTRY origin, which the
@@ -726,7 +747,7 @@ def _one_bounce(
             ) + jnp.sqrt(nbr2)
         else:
             dep_bound = None
-        run_deposit(dep_chunk, dep_bound)
+        n_dep = run_deposit(dep_chunk, dep_bound)
     elif is_disk:  # "window" (GPU candidate-window semantics)
         tlim = jnp.where(collide, t_geo + tau, -BIG)
 
@@ -743,16 +764,18 @@ def _one_bounce(
                 dep = jnp.sum(depm.astype(jnp.float32) * wdep, axis=0)
                 flux_ref[pl.ds(i, 1), :] += dep[None, :]
 
+            return jnp.where(need, 1.0, 0.0)
+
         if ordered:
             # window deposits lie within tlim of the CURRENT origin, which
             # has drifted at most ``drift`` from the entry origin
             dep_bound = jnp.max(jnp.where(collide, tlim, 0.0)) + drift
         else:
             dep_bound = None
-        run_deposit(dep_chunk, dep_bound)
+        n_dep = run_deposit(dep_chunk, dep_bound)
     else:  # triangle: single closest hit (rayTraceKernel.hpp:301-307)
 
-        def dep_body(i, carry):
+        def dep_body(i, nd):
             lo = i * pt
             need = jnp.any((h_lane_m >= lo) & (h_lane_m < lo + pt))
 
@@ -762,7 +785,7 @@ def _one_bounce(
                 dep = jnp.sum(depm.astype(jnp.float32) * wdep, axis=0)
                 flux_ref[pl.ds(i, 1), :] += dep[None, :]
 
-            return carry
+            return nd + jnp.where(need, 1.0, 0.0)
 
         # deposits land only on hit lanes: the loop need only span the
         # chunk-index range of this tile's hits (usually 1-3 chunks)
@@ -771,13 +794,15 @@ def _one_bounce(
         hl2 = jnp.where(collide, h_lane, -1.0)
         c_hi = (jnp.max(hl2) / pt).astype(jnp.int32) + 1
 
-        @pl.when(any_collide)
-        def _():
-            jax.lax.fori_loop(
+        n_dep = jax.lax.cond(
+            any_collide,
+            lambda: jax.lax.fori_loop(
                 jnp.minimum(c_lo, npad // pt),
                 jnp.minimum(c_hi, npad // pt),
-                dep_body, 0,
-            )
+                dep_body, jnp.float32(0.0),
+            ),
+            lambda: jnp.float32(0.0),
+        )
 
     # ---- reflection direction (uniforms mirror physics/reflection.py) ----
     u1, u2, u3 = u[0], u[1], u[2]
@@ -885,12 +910,20 @@ def _one_bounce(
     )
     alive_out = alive & (~dead)
 
+    # Traversal diagnostics (slots 5/6): chunks whose pass-1 sweep wake test
+    # fired / whose deposit wake test fired, per tile-sub-bounce — the
+    # quantities the hierarchy/early-break machinery exists to minimize.
+    # Broadcast scaled by 1/rt so the XLA-side per-lane sum recovers the
+    # count exactly (rt is a power of two; counts < 2^24).
+    inv_rt = 1.0 / rt
     stats = (
         jnp.where(collide, 1.0, 0.0),
         jnp.where(is_wall, 1.0, 0.0),
         jnp.where(is_exit, 1.0, 0.0),
         jnp.where(alive, 1.0, 0.0),
         jnp.where(scat, 1.0, 0.0),
+        jnp.full((rt, 1), n_swept * inv_rt),
+        jnp.full((rt, 1), n_dep * inv_rt),
     )
     new_state = (
         fx, fy, fz, gdx, gdy, gdz, weight_out, w0, alive_out, hfb_out,
@@ -957,16 +990,13 @@ def _bounce_kernel(
             )
 
             def get_block(i):
-                # blocking single-slot fallback (unused on the hot paths:
-                # pass 1 rides sweep_fetch, deposits ride dep_fetch)
-                dma = pltpu.make_async_copy(
-                    prims_ref.at[:, pl.ds(i * pt, pt)],
-                    dep_scratch.at[0],
-                    dep_sems.at[0],
+                # Unreachable by construction: pass 1 rides sweep_fetch and
+                # deposits ride dep_fetch on the ordered-streamed path. A
+                # blocking fetch here would race the double-buffered
+                # dep_scratch slots, so fail the trace instead.
+                raise AssertionError(
+                    "ordered-streamed get_block must not be called"
                 )
-                dma.start()
-                dma.wait()
-                return dep_scratch[0]
 
         else:
             dep_scratch, dep_sem = scratch
@@ -998,7 +1028,7 @@ def _bounce_kernel(
         flags_ref[:, 3:4],  # n_bdry
     )
     o0 = (o[:, 0:1], o[:, 1:2], o[:, 2:3])
-    st = [jnp.zeros((rt, 1), jnp.float32) for _ in range(5)]
+    st = [jnp.zeros((rt, 1), jnp.float32) for _ in range(7)]
     for k in range(n_sub):
         u = tuple(
             uni_ref[:, n_uni * k + j : n_uni * k + j + 1]
@@ -1027,10 +1057,38 @@ def _bounce_kernel(
     flags_out[:, 2:3] = n_refl_new
     flags_out[:, 3:4] = n_bdry_new
     zero = st[0] * 0.0
-    for j in range(5):
+    for j in range(7):
         stats_out[:, j : j + 1] = st[j]
-    for j in range(5, 8):
-        stats_out[:, j : j + 1] = zero
+    stats_out[:, 7:8] = zero
+
+
+def fused_bounce(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs,
+                 walls, sticking, rt=None, mxu_pick=None, **kw):
+    """Thin wrapper resolving env-derived config OUTSIDE the jitted inner
+    function: ``rt``/``mxu_pick`` default to env vars, and resolving them at
+    trace time would silently reuse a stale compiled kernel after the env
+    changes (the static cache key would still be None). See ``_fused_bounce``
+    for the actual contract."""
+    import os as _os
+
+    if rt is None:
+        # ray-tile width: VPU-register/VMEM-pressure tradeoff, env-tunable
+        rt = int(_os.environ.get("VIENNARAY_TPU_RT", "256"))
+    if mxu_pick is None:
+        # default OFF: measured a PESSIMIZATION on v5e (disk3d 1.376M ->
+        # 1.230M, disk18k 572k -> 489k rays/s) — the (rt,pt)x(rows,pt)
+        # transposed-rhs contraction schedules worse under Mosaic than the
+        # 12 VPU ops it replaces, same pattern as the deferred hit-selection
+        # (NOTES.md round 2). Kept behind the flag: it is bitwise-exact in
+        # interpret mode and argued exact on the MXU
+        # (tests/test_round3_features.py); future Mosaic versions may
+        # schedule it better.
+        mxu_pick = _os.environ.get("VIENNARAY_TPU_MXU_PICK", "0") == "1"
+    return _fused_bounce(
+        org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs, walls,
+        sticking, rt=min(int(rt), org.shape[0]), mxu_pick=bool(mxu_pick),
+        **kw
+    )
 
 
 @functools.partial(
@@ -1042,15 +1100,15 @@ def _bounce_kernel(
         "flux_model", "mfp", "stream", "ordered", "mxu_pick",
     ),
 )
-def fused_bounce(
+def _fused_bounce(
     org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs, walls, sticking,
-    t_near=1e-4, rt=None, pt=512, dim=3, first_dir=0, second_dir=1,
+    t_near=1e-4, rt=256, pt=512, dim=3, first_dir=0, second_dir=1,
     ray_axis=2, bc1=BoundaryCondition.REFLECTIVE,
     bc2=BoundaryCondition.REFLECTIVE,
     refl_kind=ReflectionKind.DIFFUSE, max_bounces_cfg=2**30, max_bdry=1000,
     wthresh=0.1, wrenew=0.3, roulette=True, interpret=False, n_sub=1,
     per_mat=False, geo_kind="disk", flux_model="neighbor", mfp=-1.0,
-    stream=False, ordered=True, mxu_pick=None,
+    stream=False, ordered=True, mxu_pick=False,
 ):
     """Run ``n_sub`` fused bounces for all rays.
 
@@ -1073,8 +1131,6 @@ def fused_bounce(
     Returns (org', dirn', weight', flags', stats (R,8),
     flux (C, pt) f32 in SORTED prim order summed over all rays and bounces).
     """
-    import os as _os
-
     R = org.shape[0]
     if walls.shape[1] == 8:
         # col 8 = geometry overhang beyond the walls box (disks stick out by
@@ -1084,10 +1140,6 @@ def fused_bounce(
         walls = jnp.concatenate(
             [walls, jnp.sqrt(walls[:, 7:8]) * 0.5], axis=1
         )
-    if rt is None:
-        # ray-tile width: VPU-register/VMEM-pressure tradeoff, env-tunable
-        rt = int(_os.environ.get("VIENNARAY_TPU_RT", "256"))
-    rt = min(rt, R)
     grid = (R // rt,)
     npad = prims.shape[1]
     n_chunks = npad // pt
@@ -1107,18 +1159,7 @@ def fused_bounce(
         wthresh=float(wthresh), wrenew=float(wrenew), roulette=bool(roulette),
         per_mat=bool(per_mat), geo_kind=str(geo_kind),
         flux_model=str(flux_model), mfp=float(mfp),
-        # default OFF: measured a PESSIMIZATION on v5e (disk3d 1.376M ->
-        # 1.230M, disk18k 572k -> 489k rays/s) — the (rt,pt)x(rows,pt)
-        # transposed-rhs contraction schedules worse under Mosaic than the
-        # 12 VPU ops it replaces, same pattern as the deferred hit-selection
-        # (NOTES.md round 2). Kept behind the flag: it is bitwise-exact
-        # (tests/test_round3_features.py) and future Mosaic versions may
-        # schedule it better.
-        mxu_pick=(
-            _os.environ.get("VIENNARAY_TPU_MXU_PICK", "0") == "1"
-            if mxu_pick is None
-            else bool(mxu_pick)
-        ),
+        mxu_pick=bool(mxu_pick),
     )
     vspec = lambda c: pl.BlockSpec(
         (rt, c), lambda i: (i, 0), memory_space=pltpu.VMEM

@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import TraceConfig
-from ..trace.kernel import trace_batch
+from ..trace.kernel import BatchCounters, trace_batch
 
 
 def initialize_distributed(**kwargs):
@@ -127,7 +127,7 @@ def trace_sharded(
     )
 
     flux = jnp.zeros((geometry.num_primitives,), jnp.float32)
-    totals = np.zeros(6, np.int64)
+    totals = np.zeros(len(BatchCounters._fields), np.int64)
     for b in range(num_batches):
         ray_indices = jnp.arange(b * per_batch, (b + 1) * per_batch,
                                  dtype=jnp.int32)

@@ -56,7 +56,12 @@ EV_EXIT = 3
 
 
 class BatchCounters(NamedTuple):
-    """Device-side per-batch counters (ref: TraceInfo, rayUtil.hpp:65-76)."""
+    """Device-side per-batch counters (ref: TraceInfo, rayUtil.hpp:65-76).
+
+    ``chunks_swept`` / ``chunks_deposited`` are fused-megakernel traversal
+    diagnostics (geometry chunks whose pass-1 / deposit wake test fired,
+    summed over ray tiles and bounces) — the TPU analog of a BVH
+    nodes-visited counter; zero on the unfused path."""
 
     total_traces: jnp.ndarray
     non_geometry_hits: jnp.ndarray
@@ -64,11 +69,13 @@ class BatchCounters(NamedTuple):
     particle_hits: jnp.ndarray
     boundary_hits: jnp.ndarray
     reflections: jnp.ndarray
+    chunks_swept: jnp.ndarray
+    chunks_deposited: jnp.ndarray
 
     @classmethod
     def zeros(cls):
         z = jnp.zeros((), jnp.int32)
-        return cls(z, z, z, z, z, z)
+        return cls(z, z, z, z, z, z, z, z)
 
 
 import os as _os
@@ -619,6 +626,8 @@ def trace_batch(
             particle_hits=cnt.particle_hits + isum(scattering),
             boundary_hits=cnt.boundary_hits + isum(is_wall),
             reflections=cnt.reflections + isum(collide),
+            chunks_swept=cnt.chunks_swept,
+            chunks_deposited=cnt.chunks_deposited,
         )
 
         return (
@@ -824,8 +833,8 @@ def trace_batch(
                 # unpermute and add
                 flux = flux + flux_sorted.reshape(-1)[geometry.soa_inv_perm]
 
-                # stats: collide, wall, exit, traces, scatter
-                sums = jnp.sum(stats[:, 0:5], axis=0)
+                # stats: collide, wall, exit, traces, scatter, swept, dep
+                sums = jnp.sum(stats[:, 0:7], axis=0)
                 cnt = BatchCounters(
                     total_traces=cnt.total_traces + sums[3].astype(jnp.int32),
                     non_geometry_hits=cnt.non_geometry_hits
@@ -837,6 +846,9 @@ def trace_batch(
                     boundary_hits=cnt.boundary_hits
                     + sums[1].astype(jnp.int32),
                     reflections=cnt.reflections + sums[0].astype(jnp.int32),
+                    chunks_swept=cnt.chunks_swept + sums[5].astype(jnp.int32),
+                    chunks_deposited=cnt.chunks_deposited
+                    + sums[6].astype(jnp.int32),
                 )
                 return (
                     it + n_sub, org2, dir2, w2[:, 0], w0,
