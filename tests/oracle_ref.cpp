@@ -96,6 +96,66 @@ void flatten_2d(V3 &d, int dim) {
   }
 }
 
+// Coned-cosine specular lobe (ref: rayReflection.hpp:54-122): Frisvad ONB
+// around the specular direction, accept-reject polar angle
+// (u = sqrt(r1), s = sqrt(1-u), theta = maxAngle*s, accept when
+// r2*theta*u <= cos(pi/2*s)*sin(theta)), hemisphere fix-up by reflection.
+V3 coned_dir(const V3 &d, const V3 &n, double max_angle, int dim, Rng &rng) {
+  std::uniform_real_distribution<double> uni(0.0, 1.0);
+  V3 w = specular_dir(d, n);
+  normalize(w);
+  V3 t, b;
+  if (w.z < -0.999999) {
+    t = {0.0, -1.0, 0.0};
+    b = {-1.0, 0.0, 0.0};
+  } else {
+    double a = 1.0 / (1.0 + w.z);
+    double bx = -w.x * w.y * a;
+    t = {1.0 - w.x * w.x * a, bx, -w.x};
+    b = {bx, 1.0 - w.y * w.y * a, -w.y};
+  }
+  double theta;
+  for (;;) {
+    double u = std::sqrt(uni(rng));
+    double s = std::sqrt(std::max(1.0 - u, 0.0));
+    theta = max_angle * s;
+    if (uni(rng) * theta * u <= std::cos(M_PI_2 * s) * std::sin(theta))
+      break;
+  }
+  double sinT = std::sin(theta), cosT = std::cos(theta);
+  double phi = 2.0 * M_PI * uni(rng);
+  double sinP = std::sin(phi), cosP = std::cos(phi);
+  V3 out{sinT * (cosP * t.x + sinP * b.x) + cosT * w.x,
+         sinT * (cosP * t.y + sinP * b.y) + cosT * w.y,
+         sinT * (cosP * t.z + sinP * b.z) + cosT * w.z};
+  double dp = dot(out, n);
+  if (dp <= 0.0) {
+    out.x -= 2.0 * dp * n.x;
+    out.y -= 2.0 * dp * n.y;
+    out.z -= 2.0 * dp * n.z;
+  }
+  flatten_2d(out, dim);
+  normalize(out);
+  return out;
+}
+
+// Reflection dispatch shared by the disk and triangle loops: 0 = diffuse,
+// 1 = specular, 2 = coned-cosine (with the reference's <=0 / >=pi/2 limit
+// resolution, rayReflection.hpp:59-63).
+V3 reflect_dir(int refl_kind, const V3 &d, const V3 &n, double cone_angle,
+               int dim, Rng &rng) {
+  if (refl_kind == 1)
+    return specular_dir(d, n);
+  if (refl_kind == 2) {
+    if (cone_angle <= 0.0)
+      return specular_dir(d, n);
+    if (cone_angle >= M_PI_2)
+      return diffuse_dir(n, dim, rng);
+    return coned_dir(d, n, cone_angle, dim, rng);
+  }
+  return diffuse_dir(n, dim, rng);
+}
+
 struct Counters {
   int64_t total_traces = 0;
   int64_t non_geo = 0;
@@ -122,9 +182,10 @@ int64_t vro_trace_disks(
     const double *bbox_raw, int32_t ray_axis, int32_t first_dir,
     int32_t second_dir, int32_t min_max, double pos_neg, int32_t bc1,
     int32_t bc2, int64_t num_rays, double cosine_exponent, int32_t refl_kind,
-    double disk_radius, uint64_t seed, int64_t max_boundary_hits,
-    int64_t max_reflections, double tnear, int32_t use_wdist,
-    double mean_free_path, double *flux_out, int64_t *counters_out) {
+    double cone_angle, double disk_radius, uint64_t seed,
+    int64_t max_boundary_hits, int64_t max_reflections, double tnear,
+    int32_t use_wdist, double mean_free_path, double *flux_out,
+    int64_t *counters_out) {
   // ---- adjusted bounding box (ref: rayUtil.hpp:104-143) ----
   double lo[3] = {bbox_raw[0], bbox_raw[1], bbox_raw[2]};
   double hi[3] = {bbox_raw[3], bbox_raw[4], bbox_raw[5]};
@@ -382,8 +443,7 @@ int64_t vro_trace_disks(
         w = 0.3 * w0;
       }
 
-      dir = (refl_kind == 1) ? specular_dir(dir, n_hit)
-                             : diffuse_dir(n_hit, dim, rng);
+      dir = reflect_dir(refl_kind, dir, n_hit, cone_angle, dim, rng);
       flatten_2d(dir, dim);
       org = hp;
     }
@@ -392,6 +452,228 @@ int64_t vro_trace_disks(
   }
 
   for (int64_t i = 0; i < n; ++i)
+    flux_out[i] = flux[i];
+  counters_out[0] = C.total_traces;
+  counters_out[1] = C.non_geo;
+  counters_out[2] = C.geo;
+  counters_out[3] = C.boundary;
+  counters_out[4] = C.reflections;
+  counters_out[5] = C.terminated;
+  counters_out[6] = C.scattered;
+  counters_out[7] = 0;
+  return 0;
+}
+
+// Trace `num_rays` rays over a triangle mesh: the triangle-kernel semantics
+// (single closest-hit deposit, rayTraceKernel.hpp:301-307; backface hits
+// KILL the ray, :243-248; Moller-Trumbore double-sided nearest hit like
+// Embree's built-in triangle test). Normals follow the mesh convention
+// normalize(cross(v1-v0, v2-v0)) (rayGeometryTriangle.hpp:57-75). The
+// source-axis bbox extension uses 2*grid_delta (the triangle tracer's
+// discWidth analog, rayUtil.hpp:104-143 with gridDelta).
+int64_t vro_trace_tris(
+    const double *vertices, const int64_t *tris, int64_t n_tris,
+    const double *sticking_per_prim, int32_t dim, const double *bbox_raw,
+    int32_t ray_axis, int32_t first_dir, int32_t second_dir, int32_t min_max,
+    double pos_neg, int32_t bc1, int32_t bc2, int64_t num_rays,
+    double cosine_exponent, int32_t refl_kind, double cone_angle,
+    double grid_delta, uint64_t seed, int64_t max_boundary_hits,
+    int64_t max_reflections, double tnear, double mean_free_path,
+    double *flux_out, int64_t *counters_out) {
+  double lo[3] = {bbox_raw[0], bbox_raw[1], bbox_raw[2]};
+  double hi[3] = {bbox_raw[3], bbox_raw[4], bbox_raw[5]};
+  if (dim == 2) {
+    lo[2] -= grid_delta;
+    hi[2] += grid_delta;
+  }
+  if (min_max == 1)
+    hi[ray_axis] += 2.0 * grid_delta;
+  else
+    lo[ray_axis] -= 2.0 * grid_delta;
+
+  // precompute v0 / edges / stored normals per triangle
+  std::vector<V3> tv0(n_tris), te1(n_tris), te2(n_tris), tnrm(n_tris);
+  for (int64_t p = 0; p < n_tris; ++p) {
+    const double *a = vertices + 3 * tris[3 * p];
+    const double *b = vertices + 3 * tris[3 * p + 1];
+    const double *c = vertices + 3 * tris[3 * p + 2];
+    V3 v0{a[0], a[1], a[2]};
+    V3 e1{b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+    V3 e2{c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+    V3 nn{e1.y * e2.z - e1.z * e2.y, e1.z * e2.x - e1.x * e2.z,
+          e1.x * e2.y - e1.y * e2.x};
+    normalize(nn);
+    tv0[p] = v0;
+    te1[p] = e1;
+    te2[p] = e2;
+    tnrm[p] = nn;
+  }
+
+  Counters C;
+  std::uniform_real_distribution<double> uni(0.0, 1.0);
+  const double ee = 1.0 / (cosine_exponent + 1.0);
+  const double lo1 = lo[first_dir], hi1 = hi[first_dir];
+  const double lo2 = lo[second_dir], hi2 = hi[second_dir];
+  const double lo_r = lo[ray_axis], hi_r = hi[ray_axis];
+  std::vector<double> flux(n_tris, 0.0);
+
+  for (int64_t idx = 0; idx < num_rays; ++idx) {
+    uint64_t s = (uint64_t)idx * 0x9E3779B97F4A7C15ull + seed;
+    Rng rng(s ^ (s >> 31));
+
+    double w0 = 1.0;
+    double w = w0;
+    int64_t n_refl = 0;
+    int64_t n_bdry = 0;
+
+    V3 org{0, 0, 0};
+    comp(org, ray_axis) = (min_max == 1) ? hi[ray_axis] : lo[ray_axis];
+    comp(org, first_dir) = lo1 + (hi1 - lo1) * uni(rng);
+    if (dim == 3)
+      comp(org, second_dir) = lo2 + (hi2 - lo2) * uni(rng);
+
+    double r1 = uni(rng);
+    double r2 = uni(rng);
+    double cos_t = std::pow(r2, ee);
+    double sin_t = std::sqrt(1.0 - cos_t * cos_t);
+    V3 dir{0, 0, 0};
+    comp(dir, ray_axis) = pos_neg * cos_t;
+    comp(dir, first_dir) = std::cos(2.0 * M_PI * r1) * sin_t;
+    comp(dir, second_dir) = std::sin(2.0 * M_PI * r1) * sin_t;
+    flatten_2d(dir, dim);
+
+    bool reflect = true;
+    while (reflect) {
+      ++C.total_traces;
+
+      // nearest triangle hit (Moller-Trumbore, double-sided)
+      double t_best = 1e300;
+      int64_t prim_best = -1;
+      for (int64_t p = 0; p < n_tris; ++p) {
+        const V3 &e1 = te1[p], &e2 = te2[p];
+        V3 h{dir.y * e2.z - dir.z * e2.y, dir.z * e2.x - dir.x * e2.z,
+             dir.x * e2.y - dir.y * e2.x};
+        double det = dot(h, e1);
+        if (std::abs(det) < 1e-12)
+          continue;
+        V3 sv = sub(org, tv0[p]);
+        double u = dot(sv, h) / det;
+        if (u < 0.0 || u > 1.0)
+          continue;
+        V3 q{sv.y * e1.z - sv.z * e1.y, sv.z * e1.x - sv.x * e1.z,
+             sv.x * e1.y - sv.y * e1.x};
+        double v = dot(q, dir) / det;
+        if (v < 0.0 || u + v > 1.0)
+          continue;
+        double t = dot(q, e2) / det;
+        if (t < tnear || t >= t_best)
+          continue;
+        t_best = t;
+        prim_best = p;
+      }
+
+      // wall crossings (identical to the disk loop)
+      double t_wall = 1e300;
+      int wall_axis = -1;
+      int lat_axes[2] = {first_dir, second_dir};
+      int n_lat = (dim == 3) ? 2 : 1;
+      for (int a = 0; a < n_lat; ++a) {
+        int axis = lat_axes[a];
+        double d_ax = comp(dir, axis);
+        if (d_ax == 0.0)
+          continue;
+        double face = d_ax > 0.0 ? hi[axis] : lo[axis];
+        double t = (face - comp(org, axis)) / d_ax;
+        if (t < tnear || t >= t_wall)
+          continue;
+        double hp_r = comp(org, ray_axis) + comp(dir, ray_axis) * t;
+        if (hp_r < lo_r || hp_r > hi_r)
+          continue;
+        if (dim == 3) {
+          int other = lat_axes[1 - a];
+          double hp_o = comp(org, other) + comp(dir, other) * t;
+          if (hp_o < lo[other] || hp_o > hi[other])
+            continue;
+        }
+        t_wall = t;
+        wall_axis = axis;
+      }
+
+      bool wall_event = wall_axis >= 0 && t_wall < t_best;
+      double t_ev = wall_event ? t_wall : t_best;
+
+      if (prim_best < 0 && wall_axis < 0) {
+        ++C.non_geo;
+        break;
+      }
+
+      if (mean_free_path > 0.0) {
+        double p_scat = 1.0 - std::exp(-t_ev / mean_free_path);
+        double rnd = uni(rng);
+        if (rnd < p_scat) {
+          org = scale_add(org, dir, rnd);
+          dir = unit_sphere(rng);
+          flatten_2d(dir, dim);
+          ++C.scattered;
+          continue;
+        }
+      }
+
+      if (wall_event) {
+        if (++n_bdry > max_boundary_hits) {
+          ++C.terminated;
+          break;
+        }
+        int bc = (wall_axis == first_dir) ? bc1 : bc2;
+        V3 hp = scale_add(org, dir, t_wall);
+        if (bc == 0) {
+          org = hp;
+          comp(dir, wall_axis) = -comp(dir, wall_axis);
+        } else if (bc == 1) {
+          comp(hp, wall_axis) =
+              comp(dir, wall_axis) > 0.0 ? lo[wall_axis] : hi[wall_axis];
+          org = hp;
+        } else {
+          break;
+        }
+        continue;
+      }
+
+      // ---- triangle hit: backface KILLS (rayTraceKernel.hpp:243-248) ----
+      V3 hp = scale_add(org, dir, t_best);
+      const V3 &n_hit = tnrm[prim_best];
+      if (dot(dir, n_hit) > 0.0) {
+        ++C.terminated;
+        break;
+      }
+
+      ++C.geo;
+      flux[prim_best] += w; // single surfaceCollision (:301-307)
+
+      double s_p = sticking_per_prim[prim_best];
+      w -= w * s_p;
+      if (w <= 0.0)
+        break;
+      if (++n_refl > max_reflections) {
+        ++C.terminated;
+        break;
+      }
+      if (w < 0.1 * w0) {
+        double kill_p = 1.0 - w / (0.3 * w0);
+        if (uni(rng) < kill_p)
+          break;
+        w = 0.3 * w0;
+      }
+
+      dir = reflect_dir(refl_kind, dir, n_hit, cone_angle, dim, rng);
+      flatten_2d(dir, dim);
+      org = hp;
+    }
+    C.boundary += n_bdry;
+    C.reflections += n_refl;
+  }
+
+  for (int64_t i = 0; i < n_tris; ++i)
     flux_out[i] = flux[i];
   counters_out[0] = C.total_traces;
   counters_out[1] = C.non_geo;

@@ -118,3 +118,71 @@ def flux_and_grad_sticking_batched(
         flux_acc += np.asarray(f, np.float64)
         grad_acc += float(g)
     return flux_acc, grad_acc
+
+
+def _flux_and_grad_geom_batched(
+    geometry, source, particle, bbox, base_key, total_rays, config,
+    field, geo_type="disk", num_bounces=16, loss_weights=None,
+):
+    """Shared mega-batch driver for geometry-parameter gradients.
+
+    ``field``: "points" or "normals" — the DiskGeometry leaf differentiated.
+    Gradients accumulate over batches exactly like the sticking driver
+    (batch b uses fold_in(base_key, b)); the loss is sum(flux) by default or
+    dot(loss_weights, flux). Returns (flux (N,) f64, grad (N, 3) f64).
+    """
+    import numpy as np
+
+    batch = config.ray_batch_size
+    num_batches = max(1, -(-total_rays // batch))
+
+    @jax.jit
+    def one_batch(batch_key, ray_indices, valid):
+        def loss_fn(leaf):
+            g = geometry.replace(**{field: leaf})
+            flux = trace_flux(
+                g, source, particle, bbox, batch_key, ray_indices, valid,
+                config, geo_type, num_bounces,
+            )
+            if loss_weights is not None:
+                return jnp.vdot(loss_weights, flux), flux
+            return jnp.sum(flux), flux
+
+        (_, flux), grad = jax.value_and_grad(loss_fn, has_aux=True)(
+            getattr(geometry, field)
+        )
+        return flux, grad
+
+    flux_acc = np.zeros((geometry.num_primitives,), np.float64)
+    grad_acc = np.zeros(np.asarray(getattr(geometry, field)).shape,
+                        np.float64)
+    for b in range(num_batches):
+        ray_indices = jnp.arange(b * batch, (b + 1) * batch, dtype=jnp.int32)
+        valid = ray_indices < total_rays
+        f, g = one_batch(jax.random.fold_in(base_key, b), ray_indices, valid)
+        flux_acc += np.asarray(f, np.float64)
+        grad_acc += np.asarray(g, np.float64)
+    return flux_acc, grad_acc
+
+
+def flux_and_grad_points_batched(
+    geometry, source, particle, bbox, base_key, total_rays, config,
+    geo_type="disk", num_bounces=16, loss_weights=None,
+):
+    """d loss / d surface point positions, mega-batched (the geometry
+    analog of ``flux_and_grad_sticking_batched``)."""
+    return _flux_and_grad_geom_batched(
+        geometry, source, particle, bbox, base_key, total_rays, config,
+        "points", geo_type, num_bounces, loss_weights,
+    )
+
+
+def flux_and_grad_normals_batched(
+    geometry, source, particle, bbox, base_key, total_rays, config,
+    geo_type="disk", num_bounces=16, loss_weights=None,
+):
+    """d loss / d surface normals, mega-batched."""
+    return _flux_and_grad_geom_batched(
+        geometry, source, particle, bbox, base_key, total_rays, config,
+        "normals", geo_type, num_bounces, loss_weights,
+    )

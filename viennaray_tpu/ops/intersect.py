@@ -20,9 +20,13 @@ Semantics mirrored from the reference:
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-BIG = jnp.float32(3.4e38)
+# numpy scalar, NOT jnp: a module-level jnp constant would
+# initialize the XLA backend at import time, breaking
+# jax.distributed.initialize() (must run before any backend use)
+BIG = np.float32(3.4e38)
 
 
 def _mm(a, b):

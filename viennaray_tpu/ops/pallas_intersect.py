@@ -28,7 +28,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BIG = jnp.float32(3.4e38)
+# numpy scalar, NOT jnp: a module-level jnp constant would
+# initialize the XLA backend at import time, breaking
+# jax.distributed.initialize() (must run before any backend use)
+BIG = np.float32(3.4e38)
 
 # prims row layout (SoA): cx cy cz nx ny nz r2 ndc  -> (8, Npad)
 PRIM_ROWS = 8

@@ -126,11 +126,29 @@ def trace_sharded(
         static_argnames=(),
     )
 
-    flux = jnp.zeros((geometry.num_primitives,), jnp.float32)
+    if jax.process_count() > 1:
+        # Multi-host: inputs built per-process are host-local; hand jit
+        # plain numpy leaves (identical on every process by construction)
+        # so it can lay them out over the GLOBAL mesh — committed
+        # single-process jnp arrays would fail the cross-process sharding
+        # check. The replicated-consistency contract is the standard
+        # jax.distributed pattern (same build inputs on every host).
+        np_leaves = lambda t: jax.tree.map(np.asarray, t)
+        geometry, source, particle, bbox, base_key = (
+            np_leaves((geometry, source, particle, bbox, base_key))
+        )
+
+    def _host(x):
+        """Local copy of a (replicated) global output."""
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        return np.asarray(x.addressable_data(0))
+
+    flux = None
     totals = np.zeros(len(BatchCounters._fields), np.int64)
     for b in range(num_batches):
-        ray_indices = jnp.arange(b * per_batch, (b + 1) * per_batch,
-                                 dtype=jnp.int32)
+        ray_indices = np.arange(b * per_batch, (b + 1) * per_batch,
+                                 dtype=np.int32)
         valid = ray_indices < total_rays
         # base key + global sub-batch start: shard s of mega-batch b runs
         # the stream of single-device batch (b*n_dev + s) — see
@@ -139,6 +157,6 @@ def trace_sharded(
             geometry, source, particle, bbox, base_key, ray_indices, valid,
             sub_batch_start=jnp.int32(b * n_dev),
         )
-        flux = flux + f
-        totals += np.array([int(c) for c in counters], np.int64)
-    return flux, totals
+        flux = f if flux is None else flux + f
+        totals += np.array([int(_host(c)) for c in counters], np.int64)
+    return _host(flux), totals

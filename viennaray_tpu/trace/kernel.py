@@ -296,16 +296,22 @@ def trace_batch(
         #   XLA grid DDA (gather-bound)     956 ms
         #   XLA chunked MXU brute force     ~60 ms
         # -> the Pallas kernel is the default whenever the SoA geometry fits
-        # VMEM (~260k prims); the DDA remains the out-of-VMEM fallback. The
-        # differentiable path brute-forces (no inner while_loop).
+        # VMEM (~260k prims); the DDA remains the out-of-VMEM fallback.
+        #
+        # Differentiable traces use the Pallas kernel too (VERDICT r3 item
+        # 6): hit SELECTION is piecewise-constant (straight-through, SURVEY
+        # §7), so the kernel runs on stop_gradient inputs — no AD rules
+        # needed — and the hit time is then RECOMPUTED differentiably from
+        # the selected prim's gathered fields (O(R) instead of the O(R x P)
+        # brute force whose min() AD routes the same gradient anyway).
         use_pallas = (
             geo_type in ("disk", "triangle")
-            and not differentiable
             and getattr(geometry, "prims_soa", None) is not None
             and geometry.prims_soa.shape[0] * geometry.prims_soa.shape[1]
             * 4 <= pallas_bounce.SOA_VMEM_BUDGET
             and jax.default_backend() == "tpu"
             and Rb % 512 == 0
+            and (not differentiable or dtype == jnp.float32)
         )
         use_grid = (
             geometry.grid is not None
@@ -313,14 +319,24 @@ def trace_batch(
             and not differentiable
             and n_prims >= config.grid_min_prims
         )
+        sg = jax.lax.stop_gradient
         if geo_type == "disk":
             if use_pallas:
                 t_geo, prim, hit_geo = pallas_intersect.disk_nearest_hit_pallas(
-                    org, dirn, geometry.prims_soa, geometry.soa_perm,
+                    sg(org), sg(dirn), geometry.prims_soa, geometry.soa_perm,
                     geometry.soa_chunk_bbs, t_near=config.t_near,
                     pt=geometry.prims_soa.shape[1]
                     // geometry.soa_chunk_bbs.shape[0],
                 )
+                if differentiable:
+                    # differentiable hit-time recompute from the selected
+                    # prim (plane-hit identity t = (c - o).n / d.n)
+                    pc = jnp.clip(prim, 0, n_prims - 1)
+                    c_h = geometry.points[pc]
+                    n_h = geometry.normals[pc]
+                    den = jnp.sum(dirn * n_h, axis=1)
+                    den = jnp.where(den == 0.0, 1e-30, den)
+                    t_geo = jnp.sum((c_h - org) * n_h, axis=1) / den
             elif use_grid:
                 t_geo, prim, hit_geo = grid_traverse.disk_grid_nearest_hit(
                     org, dirn, geometry.points, geometry.normals,
@@ -335,12 +351,22 @@ def trace_batch(
             if use_pallas:
                 t_geo, prim, hit_geo = (
                     pallas_intersect.triangle_nearest_hit_pallas(
-                        org, dirn, geometry.prims_soa, geometry.soa_perm,
+                        sg(org), sg(dirn), geometry.prims_soa,
+                        geometry.soa_perm,
                         geometry.soa_chunk_bbs, t_near=config.t_near,
                         pt=geometry.prims_soa.shape[1]
                         // geometry.soa_chunk_bbs.shape[0],
                     )
                 )
+                if differentiable:
+                    # plane-hit identity on the selected triangle (planar:
+                    # the Moller-Trumbore t equals the plane-hit t)
+                    pc = jnp.clip(prim, 0, n_prims - 1)
+                    v0 = geometry.vertices[geometry.triangles[pc, 0]]
+                    n_h = geometry.normals[pc]
+                    den = jnp.sum(dirn * n_h, axis=1)
+                    den = jnp.where(den == 0.0, 1e-30, den)
+                    t_geo = jnp.sum((v0 - org) * n_h, axis=1) / den
             elif use_grid:
                 t_geo, prim, hit_geo = grid_traverse.triangle_grid_nearest_hit(
                     org, dirn, geometry.vertices, geometry.triangles,
