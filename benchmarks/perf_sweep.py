@@ -190,6 +190,7 @@ def main():
             # pass-1 / deposit wake test fired, per tile-sub-bounce totals
             "chunks_swept": int(info.chunks_swept),
             "chunks_deposited": int(info.chunks_deposited),
+            "tile_bounces": int(info.tile_bounces),
             "total_traces": int(info.total_rays_traced),
         }
         results[name] = row

@@ -46,6 +46,9 @@ class TraceInfo:
     # summed over ray tiles and bounces; zero on the unfused path
     chunks_swept: int = 0
     chunks_deposited: int = 0
+    # tile-sub-bounces executed by the fused megakernel (the denominator
+    # for per-tile-bounce sweep/deposit wake attribution)
+    tile_bounces: int = 0
 
 
 class TracingData:

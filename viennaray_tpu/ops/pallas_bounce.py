@@ -205,8 +205,8 @@ def _one_bounce(
     *, pt, npad, t_near, dim, first_dir, second_dir, ray_axis, bc1, bc2,
     refl_kind, use_skip, max_bounces_cfg, max_bdry, wthresh, wrenew, roulette,
     per_mat, geo_kind, flux_model, mfp, mxu_pick=True,
-    ordered=False, order_ref=None, dbound_ref=None, o0=None, sub_k=0,
-    sweep_fetch=None, dep_fetch=None,
+    ordered=False, precand=False, order_ref=None, dbound_ref=None, o0=None,
+    sub_k=0, sweep_fetch=None, dep_fetch=None,
 ):
     """One full bounce on column-vector state; returns (state', stats).
 
@@ -268,6 +268,13 @@ def _one_bounce(
         return tlo, thi
 
     is_disk = geo_kind == "disk"
+
+    # perf-ablation knobs (debug only; read at trace time like the deposit
+    # ablation below — run ablations in fresh processes, the jit cache key
+    # does not include the env var)
+    import os as _os_abl
+
+    _ablate = _os_abl.environ.get("VIENNARAY_TPU_ABLATE", "")
 
     def hit_test_block(i, block):
         """(tt, nx, ny, nz, cx, cy, cz, stk) with tt = BIG where invalid."""
@@ -441,7 +448,71 @@ def _one_bounce(
         zeros,  # sticking (per_mat only)
     )
 
-    if ordered:
+    if "sweep" in _ablate:
+        # perf-ablation only: skip pass 1 entirely (no hits -> no deposits);
+        # what remains is the bounce logic + per-tile fixed costs
+        n_swept = jnp.float32(0.0)
+        (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = init
+    elif precand:
+        # Precomputed-candidate sweep (the XLA side already ran this tile's
+        # per-ray slab wake test against the ENTRY state — valid because
+        # sub_k == 0 — and encoded the result in order/dbound: candidates
+        # sorted by distance, non-candidates pushed to dbound = BIG). The
+        # loop body is UNCONDITIONAL: no per-chunk wake test, no lax.cond —
+        # the break IS the loop condition. Visiting a chunk the dynamic
+        # shrinking-tmin test would have skipped never changes the result
+        # (hit selection is lexicographic on (t, global lane)), so flux is
+        # bitwise identical to the in-kernel-wake path.
+        assert sub_k == 0, "precand sweep requires entry-state wake tests"
+        any_alive = jnp.any(alive)
+
+        def p_cond(c):
+            j, tmax_live = c[0], c[1]
+            jc = jnp.minimum(j, jnp.int32(n_chunks - 1))
+            return (j < n_chunks) & (dbound_ref[0, 0, jc] <= tmax_live)
+
+        def p_body(c):
+            j, tmax_live, nt = c[0], c[1], c[2]
+            carry = c[3:]
+            idx = order_ref[0, 0, j]
+            if sweep_fetch is not None:
+                start, wait, block_of = sweep_fetch
+
+                @pl.when(j + 1 < n_chunks)
+                def _():
+                    start(j + 1)  # blind prefetch; drained post-loop
+
+                wait(j)
+                blk_fn = lambda: block_of(j)
+            else:
+                blk_fn = lambda: get_block(idx)
+            carry = full(idx, blk_fn(), carry)
+            tmax2 = jnp.max(jnp.where(alive, carry[0], 0.0))
+            return (j + 1, tmax2, nt + 1.0) + carry
+
+        j0 = jnp.where(any_alive, jnp.int32(0), jnp.int32(n_chunks))
+        tmax0 = jnp.max(jnp.where(alive, tmin0, 0.0))
+        if sweep_fetch is not None:
+            @pl.when(any_alive & (dbound_ref[0, 0, 0] <= tmax0))
+            def _():
+                sweep_fetch[0](0)  # warm-up: fetch order[0] into slot 0
+        out = jax.lax.while_loop(
+            p_cond, p_body, (j0, tmax0, jnp.float32(0.0)) + init
+        )
+        if sweep_fetch is not None:
+            # the loop body blind-prefetches chunk j+1; on early break (or a
+            # 0-iteration loop after the warm-up) that DMA is still in
+            # flight — drain it so the scratch slots are quiescent before
+            # the next use
+            jf = out[0]
+            ran_any = any_alive & (dbound_ref[0, 0, 0] <= tmax0)
+
+            @pl.when(ran_any & (jf < n_chunks))
+            def _():
+                sweep_fetch[1](jf)
+        n_swept = out[2]
+        (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = out[3:]
+    elif ordered:
         any_alive = jnp.any(alive)
         if sub_k == 0:
             drift = jnp.float32(0.0)
@@ -924,6 +995,10 @@ def _one_bounce(
         jnp.where(scat, 1.0, 0.0),
         jnp.full((rt, 1), n_swept * inv_rt),
         jnp.full((rt, 1), n_dep * inv_rt),
+        # slot 7: tile-sub-bounce count (1 per tile per sub-bounce after the
+        # XLA-side lane sum) — the denominator for per-tile-bounce
+        # attribution of the sweep/deposit wake counters
+        jnp.full((rt, 1), inv_rt),
     )
     new_state = (
         fx, fy, fz, gdx, gdy, gdz, weight_out, w0, alive_out, hfb_out,
@@ -1028,7 +1103,7 @@ def _bounce_kernel(
         flags_ref[:, 3:4],  # n_bdry
     )
     o0 = (o[:, 0:1], o[:, 1:2], o[:, 2:3])
-    st = [jnp.zeros((rt, 1), jnp.float32) for _ in range(7)]
+    st = [jnp.zeros((rt, 1), jnp.float32) for _ in range(8)]
     for k in range(n_sub):
         u = tuple(
             uni_ref[:, n_uni * k + j : n_uni * k + j + 1]
@@ -1056,24 +1131,73 @@ def _bounce_kernel(
     flags_out[:, 1:2] = jnp.where(hfb_out, 1.0, 0.0)
     flags_out[:, 2:3] = n_refl_new
     flags_out[:, 3:4] = n_bdry_new
-    zero = st[0] * 0.0
-    for j in range(7):
+    for j in range(8):
         stats_out[:, j : j + 1] = st[j]
-    stats_out[:, 7:8] = zero
+
+
+def _entry_bound(org, dirn, walls, *, dim, first_dir, second_dir, ray_axis,
+                 t_near):
+    """XLA twin of the in-kernel pass-1 search bound ``tmin0`` (box-exit ∧
+    wall-crossing times): no geometry hit can lie beyond it, so a chunk
+    whose slab entry exceeds it can never matter. Used by the precand wake
+    test; the caller inflates the comparison so f32 rounding differences
+    between this and the Mosaic twin stay conservative."""
+    lo1, hi1 = walls[0, 0], walls[0, 1]
+    lo2, hi2 = walls[0, 2], walls[0, 3]
+    lor, hir = walls[0, 4], walls[0, 5]
+    r_inf = walls[0, 8] + t_near
+    inv = 1.0 / jnp.where(dirn == 0.0, 1e-30, dirn)
+    lows = {first_dir: lo1, second_dir: lo2, ray_axis: lor}
+    highs = {first_dir: hi1, second_dir: hi2, ray_axis: hir}
+    texit = None
+    for ax in range(3):
+        e = jnp.maximum(
+            (highs[ax] + r_inf - org[:, ax]) * inv[:, ax],
+            (lows[ax] - r_inf - org[:, ax]) * inv[:, ax],
+        )
+        texit = e if texit is None else jnp.minimum(texit, e)
+
+    def wall_t(axis, lo, hi, other_axis, other_lo, other_hi):
+        d = dirn[:, axis]
+        t = jnp.where(
+            d > 0.0,
+            (hi - org[:, axis]) * inv[:, axis],
+            jnp.where(d < 0.0, (lo - org[:, axis]) * inv[:, axis], BIG),
+        )
+        t = jnp.where(t > t_near, t, BIG)
+        hp_r = org[:, ray_axis] + dirn[:, ray_axis] * t
+        ok = (hp_r >= lor) & (hp_r <= hir)
+        if dim == 3:
+            hp_o = org[:, other_axis] + dirn[:, other_axis] * t
+            ok &= (hp_o >= other_lo) & (hp_o <= other_hi)
+        return jnp.where(ok, t, BIG)
+
+    t_w1 = wall_t(first_dir, lo1, hi1, second_dir, lo2, hi2)
+    if dim == 3:
+        t_w2 = wall_t(second_dir, lo2, hi2, first_dir, lo1, hi1)
+    else:
+        t_w2 = jnp.full_like(t_w1, BIG)
+    return (
+        jnp.minimum(jnp.maximum(texit, 0.0), jnp.minimum(t_w1, t_w2))
+        * (1.0 + 1e-4)
+        + t_near
+    )
 
 
 def fused_bounce(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs,
-                 walls, sticking, rt=None, mxu_pick=None, **kw):
+                 walls, sticking, rt=None, mxu_pick=None, precand=None, **kw):
     """Thin wrapper resolving env-derived config OUTSIDE the jitted inner
-    function: ``rt``/``mxu_pick`` default to env vars, and resolving them at
-    trace time would silently reuse a stale compiled kernel after the env
-    changes (the static cache key would still be None). See ``_fused_bounce``
-    for the actual contract."""
+    function: ``rt``/``mxu_pick``/``precand`` default to env vars, and
+    resolving them at trace time would silently reuse a stale compiled
+    kernel after the env changes (the static cache key would still be
+    None). See ``_fused_bounce`` for the actual contract."""
     import os as _os
 
     if rt is None:
         # ray-tile width: VPU-register/VMEM-pressure tradeoff, env-tunable
         rt = int(_os.environ.get("VIENNARAY_TPU_RT", "256"))
+    if precand is None:
+        precand = _os.environ.get("VIENNARAY_TPU_PRECAND", "1") == "1"
     if mxu_pick is None:
         # default OFF: measured a PESSIMIZATION on v5e (disk3d 1.376M ->
         # 1.230M, disk18k 572k -> 489k rays/s) — the (rt,pt)x(rows,pt)
@@ -1087,7 +1211,7 @@ def fused_bounce(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs,
     return _fused_bounce(
         org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs, walls,
         sticking, rt=min(int(rt), org.shape[0]), mxu_pick=bool(mxu_pick),
-        **kw
+        precand=bool(precand), **kw
     )
 
 
@@ -1097,7 +1221,7 @@ def fused_bounce(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs,
         "t_near", "rt", "pt", "dim", "first_dir", "second_dir", "ray_axis",
         "bc1", "bc2", "refl_kind", "max_bounces_cfg", "max_bdry", "wthresh",
         "wrenew", "roulette", "interpret", "n_sub", "per_mat", "geo_kind",
-        "flux_model", "mfp", "stream", "ordered", "mxu_pick",
+        "flux_model", "mfp", "stream", "ordered", "mxu_pick", "precand",
     ),
 )
 def _fused_bounce(
@@ -1108,7 +1232,7 @@ def _fused_bounce(
     refl_kind=ReflectionKind.DIFFUSE, max_bounces_cfg=2**30, max_bdry=1000,
     wthresh=0.1, wrenew=0.3, roulette=True, interpret=False, n_sub=1,
     per_mat=False, geo_kind="disk", flux_model="neighbor", mfp=-1.0,
-    stream=False, ordered=True, mxu_pick=False,
+    stream=False, ordered=True, mxu_pick=False, precand=True,
 ):
     """Run ``n_sub`` fused bounces for all rays.
 
@@ -1144,10 +1268,15 @@ def _fused_bounce(
     npad = prims.shape[1]
     n_chunks = npad // pt
     ordered = bool(ordered) and n_chunks >= 2
+    # precand (precomputed candidate lists) applies only when the kernel's
+    # sweep tests the ENTRY state: single sub-bounce (n_sub>1 mutates state
+    # in-kernel where the XLA wake test cannot see it)
+    precand = bool(precand) and ordered and n_sub == 1
     n_uni = 3 + (3 if mfp > 0.0 else 0)
     kernel = functools.partial(
         _bounce_kernel, n_sub=n_sub, n_uni=n_uni, pt=pt, npad=npad,
-        stream=bool(stream), ordered=ordered, t_near=float(t_near),
+        stream=bool(stream), ordered=ordered, precand=precand,
+        t_near=float(t_near),
         dim=dim,
         first_dir=first_dir, second_dir=second_dir, ray_axis=ray_axis,
         bc1=BoundaryCondition(bc1), bc2=BoundaryCondition(bc2),
@@ -1214,10 +1343,98 @@ def _fused_bounce(
             jnp.maximum(lo_c - cen[:, None, :], cen[:, None, :] - hi_c), 0.0
         )
         dist = jnp.sqrt(jnp.sum(dd * dd, axis=-1))  # (n_tiles, C)
-        order = jnp.argsort(dist, axis=1).astype(jnp.int32)
-        dbound = jnp.take_along_axis(
-            dist - r_tile[:, None], order, axis=1
-        ).astype(jnp.float32)
+        if precand:
+            # XLA-side wake test (BVH-candidate analog): per tile, which
+            # chunks can possibly contain a hit for its ENTRY state? The
+            # kernel then sweeps exactly these, unconditionally, in distance
+            # order — no in-kernel per-chunk wake test or lax.cond. Two
+            # regimes:
+            # - R*C small: the exact per-ray slab test the kernel used to
+            #   run (tlo < tmin0, segment forward, alive), inflated so f32
+            #   divergence from the Mosaic twin stays conservative;
+            # - R*C large (HBM-streamed scales): a conservative per-tile
+            #   cone test — distance reachability (tile-AABB to chunk-AABB
+            #   vs the tile's max search bound) plus, when every live ray
+            #   lies within 90 deg of the tile's mean direction, a forward
+            #   half-space cut. Both are supersets of the true candidate
+            #   set, so flux is bitwise unchanged.
+            tmin0 = _entry_bound(
+                org, dirn, walls, dim=dim, first_dir=first_dir,
+                second_dir=second_dir, ray_axis=ray_axis,
+                t_near=float(t_near),
+            )
+            alive_r = flags[:, 0] > 0.5
+            if R * n_chunks <= (1 << 25):
+                inv = 1.0 / jnp.where(dirn == 0.0, 1e-30, dirn)
+                t0 = (chunk_bbs[None, :, 0:3] - org[:, None, :]) * inv[
+                    :, None, :
+                ]
+                t1 = (chunk_bbs[None, :, 3:6] - org[:, None, :]) * inv[
+                    :, None, :
+                ]
+                tlo = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (R, C)
+                thi = jnp.min(jnp.maximum(t0, t1), axis=-1)
+                wake_r = (
+                    (thi >= tlo)
+                    & (thi > 0.0)
+                    & (tlo < tmin0[:, None] * 1.001 + 1e-3)
+                    & alive_r[:, None]
+                )
+                wake = jnp.any(
+                    wake_r.reshape(n_tiles, rt, n_chunks), axis=1
+                )
+            else:
+                olo = jnp.min(jnp.where(a_t, o_t, BIG), axis=1)
+                ohi = jnp.max(jnp.where(a_t, o_t, -BIG), axis=1)
+                tmax_t = jnp.max(
+                    jnp.where(
+                        a_t[..., 0], tmin0.reshape(n_tiles, rt), 0.0
+                    ),
+                    axis=1,
+                )
+                d_t = dirn.reshape(n_tiles, rt, 3)
+                m = jnp.sum(jnp.where(a_t, d_t, 0.0), axis=1)
+                mhat = m / jnp.maximum(
+                    jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12
+                )
+                mu = jnp.min(
+                    jnp.where(
+                        a_t[..., 0],
+                        jnp.sum(d_t * mhat[:, None, :], axis=-1),
+                        1.0,
+                    ),
+                    axis=1,
+                )
+                gap = jnp.maximum(
+                    jnp.maximum(
+                        lo_c - ohi[:, None, :], olo[:, None, :] - hi_c
+                    ),
+                    0.0,
+                )
+                dist_t = jnp.sqrt(jnp.sum(gap * gap, axis=-1))
+                reach = dist_t <= tmax_t[:, None] * 1.001 + 1e-3
+                maxproj = jnp.sum(
+                    jnp.maximum(
+                        mhat[:, None, :] * (hi_c - olo[:, None, :]),
+                        mhat[:, None, :] * (lo_c - ohi[:, None, :]),
+                    ),
+                    axis=-1,
+                )
+                fwd = (mu[:, None] <= 1e-3) | (maxproj >= -1e-3)
+                any_live_t = jnp.any(a_t[..., 0], axis=1)
+                wake = reach & fwd & any_live_t[:, None]
+            key = jnp.where(wake, dist, BIG)
+            order = jnp.argsort(key, axis=1).astype(jnp.int32)
+            dbound = jnp.where(
+                jnp.take_along_axis(wake, order, axis=1),
+                jnp.take_along_axis(dist - r_tile[:, None], order, axis=1),
+                BIG,
+            ).astype(jnp.float32)
+        else:
+            order = jnp.argsort(dist, axis=1).astype(jnp.int32)
+            dbound = jnp.take_along_axis(
+                dist - r_tile[:, None], order, axis=1
+            ).astype(jnp.float32)
         # 3-D (n_tiles, 1, C) with block (1, 1, C): Mosaic requires the last
         # two block dims to equal the array dims (or be (8,128)-divisible)
         order = order[:, None, :]

@@ -53,7 +53,15 @@ def auto_pt(n_prims: int) -> int:
     env = _os.environ.get("VIENNARAY_TPU_PT")
     if env:
         return int(env)
-    return 512 if n_prims <= 8192 else 2048
+    if n_prims <= 8192:
+        return 512
+    # 1024 measured faster than 2048 on the 18k trench (604.5k vs 573.8k
+    # rays/s, r4): (rt, 2048) pair intermediates pressure VMEM into spills,
+    # outweighing the halved chunk-loop iteration count. HBM-streamed
+    # scales (> SOA budget) keep 2048 so each chunk DMA stays large.
+    if n_prims * 32 <= 8 * 1024 * 1024:  # SOA_VMEM_BUDGET
+        return 1024
+    return 2048
 
 
 def _morton3(c):

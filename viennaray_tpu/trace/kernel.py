@@ -71,11 +71,12 @@ class BatchCounters(NamedTuple):
     reflections: jnp.ndarray
     chunks_swept: jnp.ndarray
     chunks_deposited: jnp.ndarray
+    tile_bounces: jnp.ndarray
 
     @classmethod
     def zeros(cls):
         z = jnp.zeros((), jnp.int32)
-        return cls(z, z, z, z, z, z, z, z)
+        return cls(z, z, z, z, z, z, z, z, z)
 
 
 import os as _os
@@ -654,6 +655,7 @@ def trace_batch(
             reflections=cnt.reflections + isum(collide),
             chunks_swept=cnt.chunks_swept,
             chunks_deposited=cnt.chunks_deposited,
+            tile_bounces=cnt.tile_bounces,
         )
 
         return (
@@ -859,8 +861,9 @@ def trace_batch(
                 # unpermute and add
                 flux = flux + flux_sorted.reshape(-1)[geometry.soa_inv_perm]
 
-                # stats: collide, wall, exit, traces, scatter, swept, dep
-                sums = jnp.sum(stats[:, 0:7], axis=0)
+                # stats: collide, wall, exit, traces, scatter, swept, dep,
+                # tile-sub-bounces
+                sums = jnp.sum(stats[:, 0:8], axis=0)
                 cnt = BatchCounters(
                     total_traces=cnt.total_traces + sums[3].astype(jnp.int32),
                     non_geometry_hits=cnt.non_geometry_hits
@@ -875,6 +878,7 @@ def trace_batch(
                     chunks_swept=cnt.chunks_swept + sums[5].astype(jnp.int32),
                     chunks_deposited=cnt.chunks_deposited
                     + sums[6].astype(jnp.int32),
+                    tile_bounces=cnt.tile_bounces + sums[7].astype(jnp.int32),
                 )
                 return (
                     it + n_sub, org2, dir2, w2[:, 0], w0,

@@ -337,7 +337,7 @@ class _TraceBase:
         # summation — no per-batch host fetch — with the float64 total
         # recovered at the end from (sum, comp).
         acc_f64 = self._accumulate_f64 and num_batches > 1
-        totals = np.zeros(8, np.int64)
+        totals = np.zeros(9, np.int64)
 
         t0 = time.perf_counter()
         for b in range(num_batches):
@@ -382,6 +382,7 @@ class _TraceBase:
             time=elapsed,
             chunks_swept=int(totals[6]),
             chunks_deposited=int(totals[7]),
+            tile_bounces=int(totals[8]),
         )
         self._run_number += 1  # (ref: rayTraceDisk.hpp:54)
         if acc_f64:
