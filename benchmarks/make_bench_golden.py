@@ -43,6 +43,12 @@ def build_tracer():
     t.set_particle_type(vrt.DiffuseParticle(0.1, "flux"))
     t.set_number_of_rays_per_point(2000)
     t.set_rng_seed(42)
+    # CPU golden generation runs the UNFUSED brute-force path whose
+    # intersection intermediates scale with batch x prims (the default 2^20
+    # batch allocates ~151 GB against this box's 125 GB); physics is
+    # batch-size independent up to RNG stream assignment, which is exactly
+    # what makes this an independent schedule from the TPU bench
+    t.set_ray_batch_size(1 << 18)
     return t, len(pts)
 
 

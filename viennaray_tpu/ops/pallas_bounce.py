@@ -1208,9 +1208,45 @@ def fused_bounce(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs,
         # (tests/test_round3_features.py); future Mosaic versions may
         # schedule it better.
         mxu_pick = _os.environ.get("VIENNARAY_TPU_MXU_PICK", "0") == "1"
+    rt = min(int(rt), org.shape[0])
+
+    # Compile hygiene: cap the Pallas launch width and lax.map over slices,
+    # so every wider stage of the compaction ladder — and every mega-batch
+    # size — reuses ONE compiled Mosaic kernel instead of recompiling per
+    # width (r3 NOTES: each new (batch, npad, pt, rt) tuple cost 10-60 min
+    # of remote Mosaic compiles through the tunnel). Slices run
+    # sequentially on device like grid steps; flux is summed across slices
+    # in fixed order (deterministic, but a different f32 accumulation order
+    # than a single-launch sweep — goldens regenerated with it).
+    # 2^19: slicing at 2^17 cost 17% on the flagship (8 sequential lax.map
+    # steps of XLA glue per bounce); at 2^19 only the 2^20 top stage splits
+    # in two while every batch size >= 2^19 still reuses the same kernels
+    slice_w = int(_os.environ.get("VIENNARAY_TPU_SLICE", str(1 << 19)))
+    R = org.shape[0]
+    if R > slice_w and R % slice_w == 0:
+        n_sl = R // slice_w
+
+        def one(sl):
+            o, d, w, w0s, fl, un = sl
+            return _fused_bounce(
+                o, d, w, w0s, fl, un, prims, chunk_bbs, walls, sticking,
+                rt=rt, mxu_pick=bool(mxu_pick), precand=bool(precand), **kw
+            )
+
+        cut = lambda a: a.reshape(n_sl, slice_w, *a.shape[1:])
+        org2, dir2, w2, flags2, stats, flux_sl = jax.lax.map(
+            one,
+            (cut(org), cut(dirn), cut(weight), cut(w0), cut(flags),
+             cut(uniforms)),
+        )
+        joi = lambda a: a.reshape(R, *a.shape[2:])
+        return (
+            joi(org2), joi(dir2), joi(w2), joi(flags2), joi(stats),
+            jnp.sum(flux_sl, axis=0),
+        )
     return _fused_bounce(
         org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs, walls,
-        sticking, rt=min(int(rt), org.shape[0]), mxu_pick=bool(mxu_pick),
+        sticking, rt=rt, mxu_pick=bool(mxu_pick),
         precand=bool(precand), **kw
     )
 

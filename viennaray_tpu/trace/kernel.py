@@ -284,9 +284,93 @@ def trace_batch(
         it, _, _, _, _, alive, *_ = state
         return jnp.logical_and(it < config.max_bounces, jnp.any(alive))
 
+    # ---- per-bounce coherence re-sort ------------------------------------
+    # Wake-counter attribution (r4): between compactions a 256-ray tile
+    # decoheres until its chunk union covers 77-92% of the whole geometry
+    # (disk18k: 16.6/18 chunks full-tested per tile-bounce), so the
+    # megakernel's per-tile traversal pruning stops paying after one diffuse
+    # bounce. Re-sorting the batch EVERY bounce by (position cell, direction
+    # octant) keeps tiles coherent — and herds dead lanes into all-dead
+    # tiles whose sweeps skip outright. Applied identically to the fused and
+    # unfused bodies so their RNG streams stay lane-matched (uniforms are
+    # drawn after the permutation in both). Deterministic: stable argsort on
+    # state-derived keys.
+    bbs_lo = jnp.stack([bbox[0, 0], bbox[0, 1], bbox[0, 2]])
+    bbs_ext = jnp.maximum(
+        jnp.stack([bbox[1, 0], bbox[1, 1], bbox[1, 2]]) - bbs_lo, 1e-6
+    )
+    resort = (
+        not differentiable
+        and _os.environ.get("VIENNARAY_TPU_BOUNCE_SORT", "1") == "1"
+        and R >= 4096
+        # below ~8 chunks there is little left to prune and the per-bounce
+        # argsort+gather costs what it saves (disk3d C=6: +1%; disk18k
+        # C=18: +11% — measured r4)
+        and (
+            getattr(geometry, "soa_chunk_bbs", None) is None
+            or geometry.soa_chunk_bbs.shape[0] >= 8
+        )
+    )
+
+    def _coherence_perm(org, dirn, alive):
+        cell = jnp.clip(
+            ((org - bbs_lo) / bbs_ext * 16.0).astype(jnp.int32), 0, 15
+        )
+        octant = (
+            (dirn[:, 0] > 0).astype(jnp.int32)
+            + 2 * (dirn[:, 1] > 0).astype(jnp.int32)
+            + 4 * (dirn[:, 2] > 0).astype(jnp.int32)
+        )
+        key_s = (
+            ((cell[:, 0] * 16 + cell[:, 1]) * 16 + cell[:, 2]) * 8 + octant
+        )
+        key_s = jnp.where(alive, key_s, jnp.int32(1 << 30))
+        return jnp.argsort(key_s, stable=True)
+
+    def _permute_state(take, org, dirn, weight, w0, alive, hfb, n_refl,
+                       n_bdry, aux):
+        """Apply a lane permutation as ONE packed row-gather.
+
+        TPU gathers cost ~20 ns per ROW regardless of row width (the
+        scalar core walks addresses), so nine separate 1-D/narrow gathers
+        per permutation cost ~0.1-0.2 s at 2^20 lanes (profiled r4: the
+        gather fusions, not the argsort at 7 ms, were the resort's cost).
+        Packing the whole per-ray state into an (R, 13+A) f32 matrix pays
+        the address walk once. int/bool flags round-trip exactly through
+        f32 (values < 2^24)."""
+        if aux.dtype != org.dtype or org.dtype != jnp.float32:
+            return (
+                org[take], dirn[take], weight[take], w0[take], alive[take],
+                hfb[take], n_refl[take], n_bdry[take], aux[take],
+            )
+        f = lambda a: a[:, None].astype(jnp.float32)
+        packed = jnp.concatenate(
+            [org, dirn, f(weight), f(w0), f(alive), f(hfb), f(n_refl),
+             f(n_bdry), aux],
+            axis=1,
+        )[take]
+        return (
+            packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
+            packed[:, 8] > 0.5, packed[:, 9] > 0.5,
+            packed[:, 10].astype(jnp.int32), packed[:, 11].astype(jnp.int32),
+            packed[:, 12:],
+        )
+
+    def _resorted(org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux):
+        take = _coherence_perm(org, dirn, alive)
+        return _permute_state(
+            take, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux
+        )
+
     def body(state):
         (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux, flux,
          cnt) = state
+        if resort:
+            (org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux) = (
+                _resorted(
+                    org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux
+                )
+            )
         Rb = org.shape[0]  # stage width (shrinks after compaction)
         key_b = jax.random.fold_in(batch_key, it + 1)
         k_scat, k_scat_dir, k_refl, k_roul = jax.random.split(key_b, 4)
@@ -773,6 +857,12 @@ def trace_batch(
             def body_fused(state):
                 (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux,
                  flux, cnt) = state
+                if resort:
+                    (org, dirn, weight, w0, alive, hfb, n_refl, n_bdry,
+                     aux) = _resorted(
+                        org, dirn, weight, w0, alive, hfb, n_refl, n_bdry,
+                        aux,
+                    )
                 Rb = org.shape[0]
                 key_b = jax.random.fold_in(batch_key, it + 1)
                 coned = fused_refl == ReflectionKind.CONED_COSINE
@@ -920,9 +1010,20 @@ def trace_batch(
         else:
             key_m = c1
         take = jnp.argsort(key_m, stable=True)
-        org, dirn = org[take], dirn[take]
-        weight, w0 = weight[take], w0[take]
-        alive, aux0 = alive[take], aux0[take]
+        if aux0.dtype == jnp.float32 and org.dtype == jnp.float32:
+            # one packed row-gather (same rationale as _permute_state)
+            pk = jnp.concatenate(
+                [org, dirn, weight[:, None], w0[:, None],
+                 alive[:, None].astype(jnp.float32), aux0],
+                axis=1,
+            )[take]
+            org, dirn = pk[:, 0:3], pk[:, 3:6]
+            weight, w0 = pk[:, 6], pk[:, 7]
+            alive, aux0 = pk[:, 8] > 0.5, pk[:, 9:]
+        else:
+            org, dirn = org[take], dirn[take]
+            weight, w0 = weight[take], w0[take]
+            alive, aux0 = alive[take], aux0[take]
 
     state = (
         jnp.int32(0), org, dirn, weight, w0, alive, hit_from_back,
@@ -1041,10 +1142,9 @@ def trace_batch(
             take = jnp.argsort(key_s, stable=True)[:cap]
         else:
             take = jnp.argsort(jnp.logical_not(alive), stable=True)[:cap]
-        state = (
-            it, org[take], dirn[take], weight[take], w0[take], alive[take],
-            hfb[take], n_refl[take], n_bdry[take], aux[take], flux, counters,
-        )
+        state = (it,) + _permute_state(
+            take, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux
+        ) + (flux, counters)
 
     if logs is not None:
         return state[-2], state[-1], logs
