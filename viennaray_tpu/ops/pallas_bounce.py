@@ -1223,7 +1223,10 @@ def fused_bounce(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs,
     # in two while every batch size >= 2^19 still reuses the same kernels
     slice_w = int(_os.environ.get("VIENNARAY_TPU_SLICE", str(1 << 19)))
     R = org.shape[0]
-    if R > slice_w and R % slice_w == 0:
+    # streamed (HBM-resident geometry) launches never slice: XLA fuses the
+    # lax.map output stacking into a >16M scoped-VMEM allocation around the
+    # custom call (disk1m at 2x2^19: OOM by 845K)
+    if R > slice_w and R % slice_w == 0 and not kw.get("stream", False):
         n_sl = R // slice_w
 
         def one(sl):
@@ -1400,65 +1403,78 @@ def _fused_bounce(
                 t_near=float(t_near),
             )
             alive_r = flags[:, 0] > 0.5
-            if R * n_chunks <= (1 << 25):
-                inv = 1.0 / jnp.where(dirn == 0.0, 1e-30, dirn)
-                t0 = (chunk_bbs[None, :, 0:3] - org[:, None, :]) * inv[
+            # Deposit-reach inflation: the DEPOSIT loop walks the same
+            # candidate order, but deposits land within rho of the hit
+            # point (neighbor ball 2*diskRadius, or the window tau), and a
+            # chunk within rho of the segment need not be INTERSECTED by
+            # it — candidate wake therefore tests chunk AABBs inflated by
+            # rho so no deposit-reachable chunk is ever excluded. (Chunk
+            # AABBs already overlap by ~a Morton cell, so this usually
+            # adds nothing — it closes the guarantee, not a measured gap.)
+            if geo_kind == "disk":
+                rho = (
+                    jnp.sqrt(walls[0, 7])
+                    if flux_model == "neighbor"
+                    else walls[0, 6]
+                )
+            else:
+                rho = jnp.float32(0.0)
+            inv = 1.0 / jnp.where(dirn == 0.0, 1e-30, dirn)
+            bound = tmin0 * 1.001 + 1e-3
+
+            def _wake_block(bbs_blk):
+                """(CB, 8) chunk AABBs -> (n_tiles, CB) tile wake flags via
+                the exact per-ray slab test (same arithmetic as the old
+                in-kernel wake, rho-inflated)."""
+                t0 = (bbs_blk[None, :, 0:3] - rho - org[:, None, :]) * inv[
                     :, None, :
                 ]
-                t1 = (chunk_bbs[None, :, 3:6] - org[:, None, :]) * inv[
+                t1 = (bbs_blk[None, :, 3:6] + rho - org[:, None, :]) * inv[
                     :, None, :
                 ]
-                tlo = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (R, C)
+                tlo = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (R, CB)
                 thi = jnp.min(jnp.maximum(t0, t1), axis=-1)
                 wake_r = (
                     (thi >= tlo)
                     & (thi > 0.0)
-                    & (tlo < tmin0[:, None] * 1.001 + 1e-3)
+                    & (tlo < bound[:, None])
                     & alive_r[:, None]
                 )
-                wake = jnp.any(
-                    wake_r.reshape(n_tiles, rt, n_chunks), axis=1
+                return jnp.any(
+                    wake_r.reshape(n_tiles, rt, bbs_blk.shape[0]), axis=1
                 )
+
+            if R * n_chunks <= (1 << 25):
+                wake = _wake_block(chunk_bbs)
             else:
-                olo = jnp.min(jnp.where(a_t, o_t, BIG), axis=1)
-                ohi = jnp.max(jnp.where(a_t, o_t, -BIG), axis=1)
-                tmax_t = jnp.max(
-                    jnp.where(
-                        a_t[..., 0], tmin0.reshape(n_tiles, rt), 0.0
-                    ),
-                    axis=1,
-                )
-                d_t = dirn.reshape(n_tiles, rt, 3)
-                m = jnp.sum(jnp.where(a_t, d_t, 0.0), axis=1)
-                mhat = m / jnp.maximum(
-                    jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12
-                )
-                mu = jnp.min(
-                    jnp.where(
-                        a_t[..., 0],
-                        jnp.sum(d_t * mhat[:, None, :], axis=-1),
-                        1.0,
-                    ),
-                    axis=1,
-                )
-                gap = jnp.maximum(
-                    jnp.maximum(
-                        lo_c - ohi[:, None, :], olo[:, None, :] - hi_c
-                    ),
-                    0.0,
-                )
-                dist_t = jnp.sqrt(jnp.sum(gap * gap, axis=-1))
-                reach = dist_t <= tmax_t[:, None] * 1.001 + 1e-3
-                maxproj = jnp.sum(
-                    jnp.maximum(
-                        mhat[:, None, :] * (hi_c - olo[:, None, :]),
-                        mhat[:, None, :] * (lo_c - ohi[:, None, :]),
-                    ),
-                    axis=-1,
-                )
-                fwd = (mu[:, None] <= 1e-3) | (maxproj >= -1e-3)
-                any_live_t = jnp.any(a_t[..., 0], axis=1)
-                wake = reach & fwd & any_live_t[:, None]
+                # HBM-streamed chunk counts: process the chunk axis in
+                # blocks of 64 (lax.map) so the (R, CB, 3) slab
+                # intermediates stay bounded; exactness unchanged —
+                # a 344-chunk disk1m tile woke 162 chunks/bounce under the
+                # old conservative tile-cone test vs the per-ray truth
+                cb = 64
+                n_blk = -(-n_chunks // cb)
+                pad = n_blk * cb - n_chunks
+                bbs_p = jnp.concatenate(
+                    [
+                        chunk_bbs,
+                        jnp.tile(
+                            jnp.asarray(
+                                [[BIG, BIG, BIG, -BIG, -BIG, -BIG, 0.0,
+                                  0.0]],
+                                jnp.float32,
+                            ),
+                            (pad, 1),
+                        ),
+                    ],
+                    axis=0,
+                ) if pad else chunk_bbs
+                wake_b = jax.lax.map(
+                    _wake_block, bbs_p.reshape(n_blk, cb, 8)
+                )  # (n_blk, n_tiles, cb)
+                wake = jnp.moveaxis(wake_b, 0, 1).reshape(
+                    n_tiles, n_blk * cb
+                )[:, :n_chunks]
             key = jnp.where(wake, dist, BIG)
             order = jnp.argsort(key, axis=1).astype(jnp.int32)
             dbound = jnp.where(

@@ -312,20 +312,41 @@ def trace_batch(
         )
     )
 
-    def _coherence_perm(org, dirn, alive):
+    # direction-bin count for the coherence key: 8 = sign octants;
+    # 32 = 8 xy-octants x 4 polar bands (finer direction grouping — the
+    # octant spread of 90 deg is what keeps big-geometry tile unions wide)
+    dirbins = int(_os.environ.get("VIENNARAY_TPU_SORT_DIRBINS", "8"))
+
+    def _coherence_key(org, dirn, alive):
         cell = jnp.clip(
             ((org - bbs_lo) / bbs_ext * 16.0).astype(jnp.int32), 0, 15
         )
-        octant = (
-            (dirn[:, 0] > 0).astype(jnp.int32)
-            + 2 * (dirn[:, 1] > 0).astype(jnp.int32)
-            + 4 * (dirn[:, 2] > 0).astype(jnp.int32)
-        )
+        if dirbins >= 32:
+            dbin = (
+                (dirn[:, 0] > 0).astype(jnp.int32)
+                + 2 * (dirn[:, 1] > 0).astype(jnp.int32)
+                + 4 * (jnp.abs(dirn[:, 0]) > jnp.abs(dirn[:, 1])).astype(
+                    jnp.int32
+                )
+                + 8 * jnp.clip(
+                    ((dirn[:, 2] + 1.0) * 2.0).astype(jnp.int32), 0, 3
+                )
+            )
+            nb_d = 32
+        else:
+            dbin = (
+                (dirn[:, 0] > 0).astype(jnp.int32)
+                + 2 * (dirn[:, 1] > 0).astype(jnp.int32)
+                + 4 * (dirn[:, 2] > 0).astype(jnp.int32)
+            )
+            nb_d = 8
         key_s = (
-            ((cell[:, 0] * 16 + cell[:, 1]) * 16 + cell[:, 2]) * 8 + octant
+            ((cell[:, 0] * 16 + cell[:, 1]) * 16 + cell[:, 2]) * nb_d + dbin
         )
-        key_s = jnp.where(alive, key_s, jnp.int32(1 << 30))
-        return jnp.argsort(key_s, stable=True)
+        return jnp.where(alive, key_s, jnp.int32(1 << 30))
+
+    def _coherence_perm(org, dirn, alive):
+        return jnp.argsort(_coherence_key(org, dirn, alive), stable=True)
 
     def _permute_state(take, org, dirn, weight, w0, alive, hfb, n_refl,
                        n_bdry, aux):
@@ -356,10 +377,60 @@ def trace_batch(
             packed[:, 12:],
         )
 
-    def _resorted(org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux):
-        take = _coherence_perm(org, dirn, alive)
-        return _permute_state(
-            take, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux
+    def _sorted_state(key_s, org, dirn, weight, w0, alive, hfb, n_refl,
+                      n_bdry, aux):
+        """Reorder the state ascending-by-key via ONE multi-operand
+        ``lax.sort`` — the sort network moves the payload columns with
+        vectorized compares instead of the scalar-core address walk a
+        gather pays (~21 ns/row; key-only sorts profiled ~0.2 ms at the
+        same width). Stable, so deterministic."""
+        f = lambda a: a.astype(jnp.float32)
+        cols = (
+            key_s, org[:, 0], org[:, 1], org[:, 2], dirn[:, 0], dirn[:, 1],
+            dirn[:, 2], weight, w0, f(alive), f(hfb), f(n_refl), f(n_bdry),
+        ) + tuple(aux[:, j] for j in range(aux.shape[1]))
+        out = jax.lax.sort(cols, num_keys=1, is_stable=True)
+        org2 = jnp.stack(out[1:4], axis=1)
+        dir2 = jnp.stack(out[4:7], axis=1)
+        return (
+            org2, dir2, out[7], out[8], out[9] > 0.5, out[10] > 0.5,
+            out[11].astype(jnp.int32), out[12].astype(jnp.int32),
+            jnp.stack(out[13:], axis=1).astype(aux.dtype),
+        )
+
+    # cadence: resort every K bounces (K=1 default). The permutation gather
+    # costs ~21 ns/row even packed (~11 ms per 2^19-lane bounce); K>1 skips
+    # whole sort+gather rounds via lax.cond at some coherence cost.
+    sort_every = max(
+        1, int(_os.environ.get("VIENNARAY_TPU_SORT_EVERY", "1"))
+    )
+    # permutation backend: "sort" = multi-operand lax.sort (default),
+    # "gather" = stable argsort + one packed row-gather
+    permute_mode = _os.environ.get("VIENNARAY_TPU_PERMUTE", "sort")
+
+    def _resorted(it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry,
+                  aux):
+        def do(_):
+            if (permute_mode == "sort" and org.dtype == jnp.float32
+                    and aux.dtype == jnp.float32):
+                key_s = _coherence_key(org, dirn, alive)
+                return _sorted_state(
+                    key_s, org, dirn, weight, w0, alive, hfb, n_refl,
+                    n_bdry, aux,
+                )
+            take = _coherence_perm(org, dirn, alive)
+            return _permute_state(
+                take, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux
+            )
+
+        if sort_every == 1:
+            return do(None)
+        return jax.lax.cond(
+            it % sort_every == 0,
+            do,
+            lambda _: (org, dirn, weight, w0, alive, hfb, n_refl, n_bdry,
+                       aux),
+            None,
         )
 
     def body(state):
@@ -368,7 +439,8 @@ def trace_batch(
         if resort:
             (org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux) = (
                 _resorted(
-                    org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux
+                    it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry,
+                    aux,
                 )
             )
         Rb = org.shape[0]  # stage width (shrinks after compaction)
@@ -791,6 +863,7 @@ def trace_batch(
         )
         and soa_ok
         and (fits_vmem or can_stream)
+        and _os.environ.get("VIENNARAY_TPU_FUSED", "1") == "1"
         and (
             jax.default_backend() == "tpu"
             or _os.environ.get("VIENNARAY_TPU_FUSED_INTERPRET") == "1"
@@ -860,8 +933,8 @@ def trace_batch(
                 if resort:
                     (org, dirn, weight, w0, alive, hfb, n_refl, n_bdry,
                      aux) = _resorted(
-                        org, dirn, weight, w0, alive, hfb, n_refl, n_bdry,
-                        aux,
+                        it, org, dirn, weight, w0, alive, hfb, n_refl,
+                        n_bdry, aux,
                     )
                 Rb = org.shape[0]
                 key_b = jax.random.fold_in(batch_key, it + 1)
