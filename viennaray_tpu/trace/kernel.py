@@ -415,9 +415,12 @@ def trace_batch(
     sort_every = max(
         1, int(_os.environ.get("VIENNARAY_TPU_SORT_EVERY", "1"))
     )
-    # permutation backend: "sort" = multi-operand lax.sort (default),
-    # "gather" = stable argsort + one packed row-gather
-    permute_mode = _os.environ.get("VIENNARAY_TPU_PERMUTE", "sort")
+    # permutation backend: "gather" (default) = stable argsort + ONE packed
+    # row-gather; "sort" = multi-operand lax.sort. Clean A/B on disk18k
+    # (identical flux bitwise): gather 778.1k vs sort 665.7k rays/s — the
+    # TPU variadic sort moves 14 payload columns through the full sort
+    # network, costing more than the single packed gather walk.
+    permute_mode = _os.environ.get("VIENNARAY_TPU_PERMUTE", "gather")
 
     def _resorted(it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry,
                   aux):
