@@ -64,20 +64,32 @@ def main():
     # differ by ~1-2% rel-L2; 5% catches any real physics break while
     # leaving MC-noise headroom. ok = finite AND positive AND parity.
     norm = np.asarray(tracer.normalize_flux(flux), np.float64)
-    golden_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "benchmarks", "golden", "bench_disk3d.npy",
+    golden_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks", "golden",
     )
-    parity = None
-    if os.path.exists(golden_path) and not os.environ.get("BENCH_SKIP_GOLDEN"):
-        golden = np.asarray(np.load(golden_path), np.float64)
-        parity = float(
-            np.linalg.norm(norm - golden) / max(np.linalg.norm(golden), 1e-12)
-        )
+    # two independent goldens (VERDICT r4 item 4): the repo's own unfused
+    # CPU path (independent RNG schedule) AND the scalar C++ oracle
+    # (independent codebase AND RNG — tests/oracle_ref.cpp), so a shared
+    # semantics misreading between this repo's paths cannot pass
+    parity = parity_oracle = None
+    if not os.environ.get("BENCH_SKIP_GOLDEN"):
+        p = os.path.join(golden_dir, "bench_disk3d.npy")
+        if os.path.exists(p):
+            g = np.asarray(np.load(p), np.float64)
+            parity = float(
+                np.linalg.norm(norm - g) / max(np.linalg.norm(g), 1e-12)
+            )
+        p = os.path.join(golden_dir, "bench_disk3d_oracle.npy")
+        if os.path.exists(p):
+            g = np.asarray(np.load(p), np.float64)
+            parity_oracle = float(
+                np.linalg.norm(norm - g) / max(np.linalg.norm(g), 1e-12)
+            )
     ok = bool(
         np.isfinite(norm).all()
         and norm.max() > 0
         and (parity is None or parity < 0.05)
+        and (parity_oracle is None or parity_oracle < 0.05)
     )
 
     baseline_path = os.path.join(
@@ -111,7 +123,9 @@ def main():
         f"ordered={os.environ.get('VIENNARAY_TPU_ORDERED', '1')} "
         f"rt={os.environ.get('VIENNARAY_TPU_RT', '256')} "
         f"flux_sum={float(np.asarray(flux, np.float64).sum()):.6g} "
-        f"golden_rel_l2={'%.4f' % parity if parity is not None else 'n/a'}"
+        f"golden_rel_l2={'%.4f' % parity if parity is not None else 'n/a'} "
+        f"oracle_rel_l2="
+        f"{'%.4f' % parity_oracle if parity_oracle is not None else 'n/a'}"
     )
     print(
         json.dumps(

@@ -92,8 +92,9 @@ def _cpu_fingerprint():
     return "generic"
 
 
-def main():
-    os.makedirs(OUT, exist_ok=True)
+def main(out_dir=None, quick=False):
+    out = out_dir or OUT
+    os.makedirs(out, exist_ok=True)
     # Golden trajectories depend on compaction order (RNG consumption is
     # per-slot, not per-ray), so the defaults that shape the ladder are
     # recorded here: a default flip that silently invalidates the goldens
@@ -116,11 +117,16 @@ def main():
         ("disk3d_trench", config_disk3d_trench),
     ]:
         t = make()
+        if quick:
+            # CI in-job mode (VERDICT r4 item 3): 8x fewer rays so the
+            # generate-then-reproduce bitwise leg fits a CI budget; the
+            # recorded num_rays drives the verifying trace via the manifest
+            t.set_number_of_rays_fixed(t._num_rays_fixed // 8)
         flux = t.apply()
         norm = t.normalize_flux(flux)
         if name == "disk3d_trench":
             norm = t.smooth_flux(norm, 1)
-        np.save(os.path.join(OUT, f"{name}.npy"), norm.astype(np.float32))
+        np.save(os.path.join(out, f"{name}.npy"), norm.astype(np.float32))
         info = t.get_ray_trace_info()
         manifest[name] = {
             "num_rays": info.num_rays,
@@ -129,9 +135,18 @@ def main():
             "max": float(np.max(norm)),
         }
         print(name, manifest[name], flush=True)
-    with open(os.path.join(OUT, "manifest.json"), "w") as f:
+    with open(os.path.join(out, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="output dir (default in-repo)")
+    ap.add_argument(
+        "--quick", action="store_true",
+        help="8x fewer rays (CI in-job generate-then-reproduce leg)",
+    )
+    a = ap.parse_args()
+    main(out_dir=a.out, quick=a.quick)

@@ -206,7 +206,7 @@ def _one_bounce(
     refl_kind, use_skip, max_bounces_cfg, max_bdry, wthresh, wrenew, roulette,
     per_mat, geo_kind, flux_model, mfp, mxu_pick=True,
     ordered=False, precand=False, order_ref=None, dbound_ref=None, o0=None,
-    sub_k=0, sweep_fetch=None, dep_fetch=None,
+    sub_k=0, sweep_fetch=None, dep_fetch=None, xla_deposit=False, eaux=None,
 ):
     """One full bounce on column-vector state; returns (state', stats).
 
@@ -318,48 +318,58 @@ def _one_bounce(
     # makes the ordered early break effective. Real hits satisfy
     # t <= texit < tmin0 strictly, so the found-hit set is unchanged.
     # ---- wall crossings (finite rectangles) -----------------------------
-    def wall_t(axis, lo, hi, other_axis, other_lo, other_hi):
-        dax = dcols[axis]
-        oax = cols[axis]
-        t = jnp.where(
-            dax > 0.0,
-            (hi - oax) * invs[axis],
-            jnp.where(dax < 0.0, (lo - oax) * invs[axis], BIG),
-        )
-        t = jnp.where(t > t_near, t, BIG)
-        hp_r = cols[ray_axis] + dcols[ray_axis] * t
-        ok = (hp_r >= lor) & (hp_r <= hir)
-        if dim == 3:
-            hp_o = cols[other_axis] + dcols[other_axis] * t
-            ok &= (hp_o >= other_lo) & (hp_o <= other_hi)
-        return jnp.where(ok, t, BIG)
-
-    t_w1 = wall_t(first_dir, lo1, hi1, second_dir, lo2, hi2)
-    if dim == 3:
-        t_w2 = wall_t(second_dir, lo2, hi2, first_dir, lo1, hi1)
+    if eaux is not None:
+        # Entry-state aux precomputed on the XLA side (_entry_bound twin,
+        # same arithmetic op-for-op so hit selection is unchanged): skips
+        # ~40 column-vector ops per sub-bounce of wall/box-exit math on the
+        # poorly-utilized (rt, 1) layout. Valid only for sub_k == 0
+        # (precand), where the in-kernel state still IS the entry state.
+        tmin0 = eaux[:, 0:1]
+        t_w1 = eaux[:, 1:2]
+        t_w2 = eaux[:, 2:3]
     else:
-        t_w2 = jnp.full((rt, 1), BIG, jnp.float32)
+        def wall_t(axis, lo, hi, other_axis, other_lo, other_hi):
+            dax = dcols[axis]
+            oax = cols[axis]
+            t = jnp.where(
+                dax > 0.0,
+                (hi - oax) * invs[axis],
+                jnp.where(dax < 0.0, (lo - oax) * invs[axis], BIG),
+            )
+            t = jnp.where(t > t_near, t, BIG)
+            hp_r = cols[ray_axis] + dcols[ray_axis] * t
+            ok = (hp_r >= lor) & (hp_r <= hir)
+            if dim == 3:
+                hp_o = cols[other_axis] + dcols[other_axis] * t
+                ok &= (hp_o >= other_lo) & (hp_o <= other_hi)
+            return jnp.where(ok, t, BIG)
 
-    r_inf = walls_ref[0, 8] + t_near
-    lows = {first_dir: lo1, second_dir: lo2, ray_axis: lor}
-    highs = {first_dir: hi1, second_dir: hi2, ray_axis: hir}
-    texit = None
-    for ax in range(3):
-        e = jnp.maximum(
-            (highs[ax] + r_inf - cols[ax]) * invs[ax],
-            (lows[ax] - r_inf - cols[ax]) * invs[ax],
+        t_w1 = wall_t(first_dir, lo1, hi1, second_dir, lo2, hi2)
+        if dim == 3:
+            t_w2 = wall_t(second_dir, lo2, hi2, first_dir, lo1, hi1)
+        else:
+            t_w2 = jnp.full((rt, 1), BIG, jnp.float32)
+
+        r_inf = walls_ref[0, 8] + t_near
+        lows = {first_dir: lo1, second_dir: lo2, ray_axis: lor}
+        highs = {first_dir: hi1, second_dir: hi2, ray_axis: hir}
+        texit = None
+        for ax in range(3):
+            e = jnp.maximum(
+                (highs[ax] + r_inf - cols[ax]) * invs[ax],
+                (lows[ax] - r_inf - cols[ax]) * invs[ax],
+            )
+            texit = e if texit is None else jnp.minimum(texit, e)
+        # ...and by the wall-crossing time: a geometry hit beyond the
+        # nearest wall event never wins (t_geo <= t_ev decides; ties go to
+        # geometry, so the bound sits a hair ABOVE the wall t). Sideways
+        # lanes then stop waking chunks across the domain, which is what
+        # lets the ordered early break fire on direction-decoherent tiles.
+        tmin0 = (
+            jnp.minimum(jnp.maximum(texit, 0.0), jnp.minimum(t_w1, t_w2))
+            * (1.0 + 1e-4)
+            + t_near
         )
-        texit = e if texit is None else jnp.minimum(texit, e)
-    # ...and by the wall-crossing time: a geometry hit beyond the nearest
-    # wall event never wins (t_geo <= t_ev decides; ties go to geometry, so
-    # the bound sits a hair ABOVE the wall t). Sideways lanes then stop
-    # waking chunks across the domain, which is what lets the ordered early
-    # break fire on direction-decoherent tiles.
-    tmin0 = (
-        jnp.minimum(jnp.maximum(texit, 0.0), jnp.minimum(t_w1, t_w2))
-        * (1.0 + 1e-4)
-        + t_near
-    )
 
     def pick(sel, x):
         return jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
@@ -758,7 +768,12 @@ def _one_bounce(
                 lambda: jnp.float32(0.0),
             )
 
-    if "deposit" in _ablate:  # perf-ablation only: flux stays zero
+    if xla_deposit or "deposit" in _ablate:
+        # xla_deposit: the deposit pass moves OUT of the kernel — the kernel
+        # returns each lane's (hit lane, pre-sticking weight) and the XLA
+        # side lands the neighbor/single-hit deposits via the precomputed
+        # neighbor lists + a histogram (see trace/kernel.py). flux_ref stays
+        # zero. ("deposit" ablation: debug-only, flux intentionally dropped.)
         n_dep = jnp.float32(0.0)
     elif is_disk and flux_model == "neighbor":
         # CPU neighbor-list contract; hit centers masked to far away for
@@ -1004,23 +1019,34 @@ def _one_bounce(
         fx, fy, fz, gdx, gdy, gdz, weight_out, w0, alive_out, hfb_out,
         n_refl_new, n_bdry_new,
     )
-    return new_state, stats
+    return new_state, stats, h_lane_m, wdep
 
 
 def _bounce_kernel(
     org_ref, dir_ref, w_ref, w0_ref, flags_ref, uni_ref, prims_ref, bb_ref,
     walls_ref, stick_ref,
-    *rest, n_sub, n_uni, pt, stream=False, ordered=False, **kw,
+    *rest, n_sub, n_uni, pt, stream=False, ordered=False, entry_aux=False,
+    xla_deposit=False, **kw,
 ):
     # pallas_call passes inputs, then outputs, then scratch positionally;
-    # order/dbound are two extra inputs present only on the ordered path
+    # order/dbound are two extra inputs present only on the ordered path,
+    # and the entry-state aux ([tmin0, t_w1, t_w2]) one more under entry_aux
     if ordered:
         order_ref, dbound_ref = rest[0], rest[1]
         rest = rest[2:]
     else:
         order_ref = dbound_ref = None
+    if entry_aux:
+        eaux_ref = rest[0]
+        rest = rest[1:]
+    else:
+        eaux_ref = None
     (org_out, dir_out, w_out, flags_out, stats_out, flux_out) = rest[:6]
-    scratch = rest[6:]
+    rest = rest[6:]
+    if xla_deposit:
+        hit_out, wdep_out = rest[0], rest[1]
+        rest = rest[2:]
+    scratch = rest
     o = org_ref[:]  # (RT, 3)
     d = dir_ref[:]
     rt = o.shape[0]
@@ -1033,8 +1059,12 @@ def _bounce_kernel(
         # their hits — the streaming analog of BVH descent.
         if ordered:
             # double-buffered sweep AND deposit: chunk order[j+1]'s DMA runs
-            # behind chunk order[j]'s test in both passes
-            sweep_scratch, sweep_sems, dep_scratch, dep_sems = scratch
+            # behind chunk order[j]'s test in both passes (no deposit slots
+            # under xla_deposit — the deposit pass runs on the XLA side)
+            if xla_deposit:
+                sweep_scratch, sweep_sems = scratch
+            else:
+                sweep_scratch, sweep_sems, dep_scratch, dep_sems = scratch
 
             def _sweep_dma(j):
                 idx = order_ref[0, 0, j]
@@ -1050,19 +1080,20 @@ def _bounce_kernel(
                 lambda j: sweep_scratch[j % 2],
             )
 
-            def _dep_dma(j):
-                idx = order_ref[0, 0, j]
-                return pltpu.make_async_copy(
-                    prims_ref.at[:, pl.ds(idx * pt, pt)],
-                    dep_scratch.at[j % 2],
-                    dep_sems.at[j % 2],
-                )
+            if not xla_deposit:
+                def _dep_dma(j):
+                    idx = order_ref[0, 0, j]
+                    return pltpu.make_async_copy(
+                        prims_ref.at[:, pl.ds(idx * pt, pt)],
+                        dep_scratch.at[j % 2],
+                        dep_sems.at[j % 2],
+                    )
 
-            dep_fetch = (
-                lambda j: _dep_dma(j).start(),
-                lambda j: _dep_dma(j).wait(),
-                lambda j: dep_scratch[j % 2],
-            )
+                dep_fetch = (
+                    lambda j: _dep_dma(j).start(),
+                    lambda j: _dep_dma(j).wait(),
+                    lambda j: dep_scratch[j % 2],
+                )
 
             def get_block(i):
                 # Unreachable by construction: pass 1 rides sweep_fetch and
@@ -1109,14 +1140,18 @@ def _bounce_kernel(
             uni_ref[:, n_uni * k + j : n_uni * k + j + 1]
             for j in range(n_uni)
         )
-        state, stats = _one_bounce(
+        state, stats, h_lane_m, wdep = _one_bounce(
             state, u, get_block, bb_ref, walls_ref, stick_ref,
             flux_out, pt=pt, ordered=ordered, order_ref=order_ref,
             dbound_ref=dbound_ref, o0=o0, sub_k=k, sweep_fetch=sweep_fetch,
-            dep_fetch=dep_fetch,
+            dep_fetch=dep_fetch, xla_deposit=xla_deposit,
+            eaux=eaux_ref[:] if eaux_ref is not None else None,
             **kw
         )
         st = [a + b for a, b in zip(st, stats)]
+    if xla_deposit:
+        hit_out[:, 0:1] = h_lane_m
+        wdep_out[:, 0:1] = wdep
 
     (fx, fy, fz, gdx, gdy, gdz, weight_out, _, alive_out, hfb_out,
      n_refl_new, n_bdry_new) = state
@@ -1140,8 +1175,10 @@ def _entry_bound(org, dirn, walls, *, dim, first_dir, second_dir, ray_axis,
     """XLA twin of the in-kernel pass-1 search bound ``tmin0`` (box-exit ∧
     wall-crossing times): no geometry hit can lie beyond it, so a chunk
     whose slab entry exceeds it can never matter. Used by the precand wake
-    test; the caller inflates the comparison so f32 rounding differences
-    between this and the Mosaic twin stay conservative."""
+    test (the caller inflates the comparison so f32 rounding differences
+    between this and the Mosaic twin stay conservative) and, under
+    ``entry_aux``, fed straight into the kernel as [tmin0, t_w1, t_w2] —
+    replacing the in-kernel twin op-for-op. Returns (tmin0, t_w1, t_w2)."""
     lo1, hi1 = walls[0, 0], walls[0, 1]
     lo2, hi2 = walls[0, 2], walls[0, 3]
     lor, hir = walls[0, 4], walls[0, 5]
@@ -1177,20 +1214,26 @@ def _entry_bound(org, dirn, walls, *, dim, first_dir, second_dir, ray_axis,
         t_w2 = wall_t(second_dir, lo2, hi2, first_dir, lo1, hi1)
     else:
         t_w2 = jnp.full_like(t_w1, BIG)
-    return (
+    tmin0 = (
         jnp.minimum(jnp.maximum(texit, 0.0), jnp.minimum(t_w1, t_w2))
         * (1.0 + 1e-4)
         + t_near
     )
+    return tmin0, t_w1, t_w2
 
 
 def fused_bounce(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs,
-                 walls, sticking, rt=None, mxu_pick=None, precand=None, **kw):
-    """Thin wrapper resolving env-derived config OUTSIDE the jitted inner
-    function: ``rt``/``mxu_pick``/``precand`` default to env vars, and
-    resolving them at trace time would silently reuse a stale compiled
-    kernel after the env changes (the static cache key would still be
-    None). See ``_fused_bounce`` for the actual contract."""
+                 walls, sticking, rt=None, mxu_pick=None, precand=None,
+                 slice_w=None, **kw):
+    """Thin wrapper around ``_fused_bounce`` (see it for the contract).
+
+    ``rt``/``mxu_pick``/``precand``/``slice_w`` fall back to env vars when
+    None — but NOTE this wrapper usually runs inside an outer jitted trace,
+    so env fallbacks resolve at trace time and an env change mid-process
+    silently reuses the stale outer compile. The production path passes
+    them explicitly from ``trace.kernel.EnvKnobs`` (resolved per ``apply()``
+    outside jit); the fallbacks exist for direct/standalone callers only
+    (fresh process required after env changes)."""
     import os as _os
 
     if rt is None:
@@ -1221,7 +1264,9 @@ def fused_bounce(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs,
     # 2^19: slicing at 2^17 cost 17% on the flagship (8 sequential lax.map
     # steps of XLA glue per bounce); at 2^19 only the 2^20 top stage splits
     # in two while every batch size >= 2^19 still reuses the same kernels
-    slice_w = int(_os.environ.get("VIENNARAY_TPU_SLICE", str(1 << 19)))
+    if slice_w is None:
+        slice_w = int(_os.environ.get("VIENNARAY_TPU_SLICE", str(1 << 19)))
+    slice_w = int(slice_w)
     R = org.shape[0]
     # streamed (HBM-resident geometry) launches never slice: XLA fuses the
     # lax.map output stacking into a >16M scoped-VMEM allocation around the
@@ -1237,15 +1282,18 @@ def fused_bounce(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs,
             )
 
         cut = lambda a: a.reshape(n_sl, slice_w, *a.shape[1:])
-        org2, dir2, w2, flags2, stats, flux_sl = jax.lax.map(
+        outs = jax.lax.map(
             one,
             (cut(org), cut(dirn), cut(weight), cut(w0), cut(flags),
              cut(uniforms)),
         )
         joi = lambda a: a.reshape(R, *a.shape[2:])
+        org2, dir2, w2, flags2, stats, flux_sl = outs[:6]
         return (
             joi(org2), joi(dir2), joi(w2), joi(flags2), joi(stats),
             jnp.sum(flux_sl, axis=0),
+            # xla_deposit extras (hit lane / deposit weight), per-ray
+            *(joi(a) for a in outs[6:]),
         )
     return _fused_bounce(
         org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs, walls,
@@ -1261,6 +1309,7 @@ def fused_bounce(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs,
         "bc1", "bc2", "refl_kind", "max_bounces_cfg", "max_bdry", "wthresh",
         "wrenew", "roulette", "interpret", "n_sub", "per_mat", "geo_kind",
         "flux_model", "mfp", "stream", "ordered", "mxu_pick", "precand",
+        "xla_deposit", "entry_aux",
     ),
 )
 def _fused_bounce(
@@ -1272,6 +1321,7 @@ def _fused_bounce(
     wthresh=0.1, wrenew=0.3, roulette=True, interpret=False, n_sub=1,
     per_mat=False, geo_kind="disk", flux_model="neighbor", mfp=-1.0,
     stream=False, ordered=True, mxu_pick=False, precand=True,
+    xla_deposit=False, entry_aux=False,
 ):
     """Run ``n_sub`` fused bounces for all rays.
 
@@ -1293,8 +1343,25 @@ def _fused_bounce(
 
     Returns (org', dirn', weight', flags', stats (R,8),
     flux (C, pt) f32 in SORTED prim order summed over all rays and bounces).
+
+    ``xla_deposit`` (requires n_sub == 1; disk-neighbor / triangle / line
+    only): the kernel skips its deposit pass — flux comes back zero — and
+    two extra outputs are appended: hit_lane (R,1) f32 (global SORTED lane
+    of the colliding hit, -1 otherwise) and wdep (R,1) f32 (the
+    pre-sticking deposit weight). The caller lands the deposits with the
+    precomputed neighbor lists + a histogram (trace/kernel.py).
+
+    ``entry_aux`` (requires precand): feed the XLA-computed
+    [tmin0, t_w1, t_w2] entry-state columns into the kernel, skipping the
+    in-kernel wall/box-exit math (same arithmetic op-for-op).
     """
     R = org.shape[0]
+    xla_deposit = bool(xla_deposit)
+    if xla_deposit:
+        assert n_sub == 1, "xla_deposit requires n_sub == 1"
+        assert not (geo_kind == "disk" and flux_model == "window"), (
+            "xla_deposit has no XLA twin for the window flux model"
+        )
     if walls.shape[1] == 8:
         # col 8 = geometry overhang beyond the walls box (disks stick out by
         # their radius; bbox covers centers only) — needed by the pass-1
@@ -1311,10 +1378,14 @@ def _fused_bounce(
     # sweep tests the ENTRY state: single sub-bounce (n_sub>1 mutates state
     # in-kernel where the XLA wake test cannot see it)
     precand = bool(precand) and ordered and n_sub == 1
+    # the entry-state aux is only valid when the kernel sweep tests the
+    # ENTRY state, i.e. under precand
+    entry_aux = bool(entry_aux) and precand
     n_uni = 3 + (3 if mfp > 0.0 else 0)
     kernel = functools.partial(
         _bounce_kernel, n_sub=n_sub, n_uni=n_uni, pt=pt, npad=npad,
         stream=bool(stream), ordered=ordered, precand=precand,
+        entry_aux=entry_aux, xla_deposit=xla_deposit,
         t_near=float(t_near),
         dim=dim,
         first_dir=first_dir, second_dir=second_dir, ray_axis=ray_axis,
@@ -1337,15 +1408,19 @@ def _fused_bounce(
     )
     if stream:
         # geometry stays in HBM
-        prims_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        prims_spec = pl.BlockSpec(memory_space=pl.ANY)
         if ordered:
             # double-buffered sweep slots + double-buffered deposit slots
+            # (deposit slots only when the deposit pass runs in-kernel)
             scratch_shapes = [
                 pltpu.VMEM((2, prims.shape[0], pt), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((2, prims.shape[0], pt), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
             ]
+            if not xla_deposit:
+                scratch_shapes += [
+                    pltpu.VMEM((2, prims.shape[0], pt), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ]
         else:
             scratch_shapes = [
                 pltpu.VMEM((prims.shape[0], pt), jnp.float32),
@@ -1386,34 +1461,39 @@ def _fused_bounce(
             # XLA-side wake test (BVH-candidate analog): per tile, which
             # chunks can possibly contain a hit for its ENTRY state? The
             # kernel then sweeps exactly these, unconditionally, in distance
-            # order — no in-kernel per-chunk wake test or lax.cond. Two
-            # regimes:
-            # - R*C small: the exact per-ray slab test the kernel used to
-            #   run (tlo < tmin0, segment forward, alive), inflated so f32
-            #   divergence from the Mosaic twin stays conservative;
-            # - R*C large (HBM-streamed scales): a conservative per-tile
-            #   cone test — distance reachability (tile-AABB to chunk-AABB
-            #   vs the tile's max search bound) plus, when every live ray
-            #   lies within 90 deg of the tile's mean direction, a forward
-            #   half-space cut. Both are supersets of the true candidate
-            #   set, so flux is bitwise unchanged.
-            tmin0 = _entry_bound(
+            # order — no in-kernel per-chunk wake test or lax.cond. The test
+            # is the exact per-ray slab test the kernel used to run
+            # in-kernel (tlo < tmin0, segment forward, alive), inflated so
+            # f32 divergence from the Mosaic twin stays conservative; at
+            # HBM-streamed chunk counts the chunk axis is processed in
+            # 64-chunk blocks via lax.map (bounding the (R, CB, 3) slab
+            # intermediates) — same arithmetic, so the candidate set is the
+            # same superset of the true set in both regimes and flux is
+            # bitwise unchanged.
+            tmin0, t_w1x, t_w2x = _entry_bound(
                 org, dirn, walls, dim=dim, first_dir=first_dir,
                 second_dir=second_dir, ray_axis=ray_axis,
                 t_near=float(t_near),
             )
             alive_r = flags[:, 0] > 0.5
             # Deposit-reach inflation: the DEPOSIT loop walks the same
-            # candidate order, but deposits land within rho of the hit
-            # point (neighbor ball 2*diskRadius, or the window tau), and a
-            # chunk within rho of the segment need not be INTERSECTED by
-            # it — candidate wake therefore tests chunk AABBs inflated by
-            # rho so no deposit-reachable chunk is ever excluded. (Chunk
-            # AABBs already overlap by ~a Morton cell, so this usually
-            # adds nothing — it closes the guarantee, not a measured gap.)
+            # candidate order, but deposits land within reach of the hit
+            # point, and a chunk within that reach of the segment need not
+            # be INTERSECTED by it — candidate wake therefore tests chunk
+            # AABBs inflated by rho so no deposit-reachable chunk is ever
+            # excluded. Under the neighbor model the in-kernel deposit wake
+            # is a 2*diskRadius ball around the hit prim's CENTER, which
+            # sits up to r_hit <= r_over off the ray's pierce point — rho
+            # must cover nbr + that center offset, or a chunk whose slab
+            # entry lands just past ``bound`` (a wall crossing right behind
+            # the hit) could be excluded while still receiving deposits
+            # (silently dropping them). rho = nbr + 2*r_over: one r_over
+            # for the center offset, one as margin for f32 slab rounding.
+            # An AABB inflated by rho also moves the slab entry >= rho
+            # earlier along a unit ray, so the t-test needs no extra slack.
             if geo_kind == "disk":
                 rho = (
-                    jnp.sqrt(walls[0, 7])
+                    jnp.sqrt(walls[0, 7]) + 2.0 * walls[0, 8]
                     if flux_model == "neighbor"
                     else walls[0, 6]
                 )
@@ -1496,26 +1576,41 @@ def _fused_bounce(
         )
         in_specs += [smem_spec, smem_spec]
         args += [order, dbound]
+        if entry_aux:
+            eaux = jnp.stack([tmin0, t_w1x, t_w2x], axis=1).astype(
+                jnp.float32
+            )
+            in_specs += [vspec(3)]
+            args += [eaux]
+
+    out_specs = [
+        vspec(3), vspec(3), vspec(1), vspec(4), vspec(8),
+        pl.BlockSpec(
+            (npad // pt, pt), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((R, 3), jnp.float32),
+        jax.ShapeDtypeStruct((R, 3), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        jax.ShapeDtypeStruct((R, 4), jnp.float32),
+        jax.ShapeDtypeStruct((R, 8), jnp.float32),
+        jax.ShapeDtypeStruct((npad // pt, pt), jnp.float32),
+    ]
+    if xla_deposit:
+        out_specs += [vspec(1), vspec(1)]
+        out_shape += [
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        ]
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         scratch_shapes=scratch_shapes,
-        out_specs=[
-            vspec(3), vspec(3), vspec(1), vspec(4), vspec(8),
-            pl.BlockSpec(
-                (npad // pt, pt), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, 3), jnp.float32),
-            jax.ShapeDtypeStruct((R, 3), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R, 4), jnp.float32),
-            jax.ShapeDtypeStruct((R, 8), jnp.float32),
-            jax.ShapeDtypeStruct((npad // pt, pt), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
     return out

@@ -38,6 +38,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from ..config import (
     BoundaryCondition,
@@ -82,6 +83,64 @@ class BatchCounters(NamedTuple):
 import os as _os
 
 _SCATTER_SPLIT = int(_os.environ.get("VIENNARAY_TPU_SCATTER_SPLIT", "1"))
+
+
+class EnvKnobs(NamedTuple):
+    """Performance knobs, resolved from the environment OUTSIDE the jitted
+    trace (hashable -> part of the jit static cache key).
+
+    Reading env vars at trace time silently reuses a stale compiled trace
+    after the env changes mid-process (the jit cache key would not include
+    them — the footgun ADVICE r4 flagged). The tracer builds one of these
+    per ``apply()`` via ``from_env()`` and passes it down as a static
+    argument, so flipping a knob between applies recompiles correctly.
+    Callers invoking ``trace_batch`` directly may pass ``knobs=None`` to get
+    trace-time resolution (fresh process required after env changes)."""
+
+    bounce_sort: bool = True      # per-bounce coherence resort
+    sort_dirbins: str = "auto"    # direction bins for the resort key
+    sort_every: int = 1           # resort cadence (bounces)
+    permute: str = "gather"       # lane-permutation backend: gather | sort
+    fused: bool = True            # fused Pallas megakernel
+    ordered: bool = True          # per-tile front-to-back chunk order
+    source_sort: bool = True      # source-plane Morton sort
+    compact_sort: str = "spatial"  # compaction order: spatial | alive
+    stage_shrink: int = 2         # compaction-ladder shrink factor
+    nsub_wide: int = 1            # fused sub-bounces per launch (wide)
+    nsub_mid: int = 4             # ... mid stages
+    nsub_tail: int = 16           # ... tail stages
+    rt: int = 256                 # Pallas ray-tile width
+    precand: bool = True          # XLA-side candidate lists
+    mxu_pick: bool = False        # MXU one-hot hit selection
+    slice_w: int = 1 << 19        # fused launch slicing width
+    deposit: str = "auto"         # deposit pass: auto | kernel | xla
+    entry_aux: bool = True        # XLA-computed [tmin0, t_w1, t_w2] input
+    fused_interpret: bool = False  # run the fused kernel in interpret mode
+
+    @classmethod
+    def from_env(cls) -> "EnvKnobs":
+        e = _os.environ.get
+        return cls(
+            bounce_sort=e("VIENNARAY_TPU_BOUNCE_SORT", "1") == "1",
+            sort_dirbins=e("VIENNARAY_TPU_SORT_DIRBINS", "auto"),
+            sort_every=max(1, int(e("VIENNARAY_TPU_SORT_EVERY", "1"))),
+            permute=e("VIENNARAY_TPU_PERMUTE", "gather"),
+            fused=e("VIENNARAY_TPU_FUSED", "1") == "1",
+            ordered=e("VIENNARAY_TPU_ORDERED", "1") == "1",
+            source_sort=e("VIENNARAY_TPU_SOURCE_SORT", "1") == "1",
+            compact_sort=e("VIENNARAY_TPU_COMPACT_SORT", "spatial"),
+            stage_shrink=int(e("VIENNARAY_TPU_STAGE_SHRINK", "2")),
+            nsub_wide=int(e("VIENNARAY_TPU_NSUB_WIDE", "1")),
+            nsub_mid=int(e("VIENNARAY_TPU_NSUB_MID", "4")),
+            nsub_tail=int(e("VIENNARAY_TPU_NSUB_TAIL", "16")),
+            rt=int(e("VIENNARAY_TPU_RT", "256")),
+            precand=e("VIENNARAY_TPU_PRECAND", "1") == "1",
+            mxu_pick=e("VIENNARAY_TPU_MXU_PICK", "0") == "1",
+            slice_w=int(e("VIENNARAY_TPU_SLICE", str(1 << 19))),
+            deposit=e("VIENNARAY_TPU_DEPOSIT", "auto"),
+            entry_aux=e("VIENNARAY_TPU_ENTRY_AUX", "1") == "1",
+            fused_interpret=e("VIENNARAY_TPU_FUSED_INTERPRET", "") == "1",
+        )
 
 
 def _flux_add(ids, weights, n_prims):
@@ -146,6 +205,7 @@ def trace_batch(
     log_fn=None,
     differentiable: bool = False,
     num_bounces: Optional[int] = None,
+    knobs: Optional[EnvKnobs] = None,
 ):
     """Trace one mega-batch of rays to extinction; returns (flux, counters).
 
@@ -182,6 +242,8 @@ def trace_batch(
     merged additively across batches by the caller. When provided,
     trace_batch returns (flux, counters, logs).
     """
+    if knobs is None:
+        knobs = EnvKnobs.from_env()
     dim = config.dim
     ray_axis, first_dir, second_dir, _, _ = get_trace_settings(
         config.source_direction
@@ -301,7 +363,7 @@ def trace_batch(
     )
     resort = (
         not differentiable
-        and _os.environ.get("VIENNARAY_TPU_BOUNCE_SORT", "1") == "1"
+        and knobs.bounce_sort
         and R >= 4096
         # below ~8 chunks there is little left to prune and the per-bounce
         # argsort+gather costs what it saves (disk3d C=6: +1%; disk18k
@@ -317,7 +379,7 @@ def trace_batch(
     # geometry is much finer than a tile's direction spread: disk1m 65.4k
     # -> 69.6k rays/s at 32 bins, disk18k a tie (r4) — auto picks 32 from
     # 64 chunks up.
-    _db_env = _os.environ.get("VIENNARAY_TPU_SORT_DIRBINS", "auto")
+    _db_env = knobs.sort_dirbins
     if _db_env == "auto":
         _nc = (
             geometry.soa_chunk_bbs.shape[0]
@@ -412,15 +474,13 @@ def trace_batch(
     # cadence: resort every K bounces (K=1 default). The permutation gather
     # costs ~21 ns/row even packed (~11 ms per 2^19-lane bounce); K>1 skips
     # whole sort+gather rounds via lax.cond at some coherence cost.
-    sort_every = max(
-        1, int(_os.environ.get("VIENNARAY_TPU_SORT_EVERY", "1"))
-    )
+    sort_every = max(1, knobs.sort_every)
     # permutation backend: "gather" (default) = stable argsort + ONE packed
     # row-gather; "sort" = multi-operand lax.sort. Clean A/B on disk18k
     # (identical flux bitwise): gather 778.1k vs sort 665.7k rays/s — the
     # TPU variadic sort moves 14 payload columns through the full sort
     # network, costing more than the single packed gather walk.
-    permute_mode = _os.environ.get("VIENNARAY_TPU_PERMUTE", "gather")
+    permute_mode = knobs.permute
 
     def _resorted(it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry,
                   aux):
@@ -491,6 +551,16 @@ def trace_batch(
             and n_prims >= config.grid_min_prims
         )
         sg = jax.lax.stop_gradient
+        # Differentiable traces: tag the expensive intermediates so the
+        # scan's checkpoint policy SAVES them instead of rematerializing the
+        # whole bounce in the backward pass — the Pallas/brute nearest-hit
+        # search (primal-only: it runs on stop_gradient inputs) and the
+        # neighbor-record gather (~11 ms per 2^17-row gather, r4 profile)
+        # would otherwise each run twice per bounce. Saved residuals are
+        # small: 3x(R,) + (R, K*8) per bounce.
+        name_val = (
+            _checkpoint_name if differentiable else (lambda x, _: x)
+        )
         if geo_type == "disk":
             if use_pallas:
                 t_geo, prim, hit_geo = pallas_intersect.disk_nearest_hit_pallas(
@@ -498,6 +568,9 @@ def trace_batch(
                     geometry.soa_chunk_bbs, t_near=config.t_near,
                     pt=geometry.prims_soa.shape[1]
                     // geometry.soa_chunk_bbs.shape[0],
+                )
+                t_geo, prim, hit_geo = name_val(
+                    (t_geo, prim, hit_geo), "isect"
                 )
                 if differentiable:
                     # differentiable hit-time recompute from the selected
@@ -518,6 +591,9 @@ def trace_batch(
                     org, dirn, geometry.points, geometry.normals,
                     geometry.radii, t_near,
                 )
+                t_geo, prim, hit_geo = name_val(
+                    (t_geo, prim, hit_geo), "isect"
+                )
         elif geo_type == "triangle":
             if use_pallas:
                 t_geo, prim, hit_geo = (
@@ -528,6 +604,9 @@ def trace_batch(
                         pt=geometry.prims_soa.shape[1]
                         // geometry.soa_chunk_bbs.shape[0],
                     )
+                )
+                t_geo, prim, hit_geo = name_val(
+                    (t_geo, prim, hit_geo), "isect"
                 )
                 if differentiable:
                     # plane-hit identity on the selected triangle (planar:
@@ -546,6 +625,9 @@ def trace_batch(
             else:
                 t_geo, prim, hit_geo = intersect.triangle_nearest_hit(
                     org, dirn, geometry.vertices, geometry.triangles, t_near,
+                )
+                t_geo, prim, hit_geo = name_val(
+                    (t_geo, prim, hit_geo), "isect"
                 )
         else:  # native 2D line segments (ref: GeneralPipelineLine.cu)
             t_geo, prim, hit_geo = intersect.line_nearest_hit(
@@ -641,7 +723,7 @@ def trace_batch(
 
         # ---- 5. surface interaction -------------------------------------
         prim_c = jnp.clip(prim, 0, n_prims - 1)
-        n_hit = prim_normals[prim_c]
+        n_hit = name_val(prim_normals[prim_c], "nhit")
         mat_hit = material_ids[prim_c]
         backface = jnp.sum(dirn * n_hit, axis=1) > 0.0
 
@@ -674,15 +756,17 @@ def trace_batch(
             nb_c = jnp.clip(nb_ids, 0, n_prims - 1)
             if getattr(geometry, "neighbor_pack", None) is not None:
                 # one contiguous gather of the packed per-prim records
-                rec = geometry.neighbor_pack[prim_c].reshape(Rb, K, 8)
+                rec = name_val(
+                    geometry.neighbor_pack[prim_c].reshape(Rb, K, 8), "nbrec"
+                )
                 nb_ok, nb_dist = intersect.check_neighbors_packed(
                     org, dirn, rec
                 )
             else:
                 nb_pad_ok = nb_ids >= 0
-                nb_centers = geometry.points[nb_c]
-                nb_normals = geometry.normals[nb_c]
-                nb_radii = geometry.radii[nb_c]
+                nb_centers = name_val(geometry.points[nb_c], "nbrec")
+                nb_normals = name_val(geometry.normals[nb_c], "nbrec")
+                nb_radii = name_val(geometry.radii[nb_c], "nbrec")
                 nb_ok, nb_dist = intersect.check_local_intersection(
                     org, dirn, nb_centers, nb_normals, nb_radii
                 )
@@ -877,11 +961,8 @@ def trace_batch(
         )
         and soa_ok
         and (fits_vmem or can_stream)
-        and _os.environ.get("VIENNARAY_TPU_FUSED", "1") == "1"
-        and (
-            jax.default_backend() == "tpu"
-            or _os.environ.get("VIENNARAY_TPU_FUSED_INTERPRET") == "1"
-        )
+        and knobs.fused
+        and (jax.default_backend() == "tpu" or knobs.fused_interpret)
     )
     if use_fused:
         # walls layout: [lo1 hi1 lo2 hi2 lo_r hi_r tau nbr2]; tau is the GPU
@@ -904,9 +985,7 @@ def trace_batch(
         walls = jnp.stack(
             [lo1, hi1, lo2, hi2, lo_r, hi_r, tau, nbr2, r_over]
         ).reshape(1, 9).astype(jnp.float32)
-        fused_ordered = (
-            _os.environ.get("VIENNARAY_TPU_ORDERED", "1") == "1"
-        )
+        fused_ordered = knobs.ordered
         fused_mfp = float(particle.mean_free_path)
         fused_refl = ReflectionKind(particle.reflection_kind)
         n_uni = 3 + (3 if fused_mfp > 0.0 else 0)
@@ -940,6 +1019,26 @@ def trace_batch(
             still collision-free across iterations because ``it`` advances
             by n_sub. Streams differ from n_sub=1 but are equally
             deterministic per seed (the rngSeed contract)."""
+            # Deposit pass placement: "xla" moves the flux deposits OUT of
+            # the megakernel — the kernel returns (hit lane, pre-sticking
+            # weight) and the deposits land here via the precomputed
+            # neighbor lists + histogram (the unfused path's exact deposit
+            # code). Only valid per-bounce (n_sub == 1) and where an XLA
+            # twin exists (disk-neighbor / triangle / line). "auto" picks
+            # xla on the HBM-streamed path, where the in-kernel deposit
+            # re-sweep costs ~56 chunk DMAs+bodies per tile-bounce
+            # (measured disk1m r4) vs ~tens of ms of XLA gather+histogram
+            # per full-width bounce.
+            dep_ok = n_sub == 1 and (
+                geo_type in ("triangle", "line")
+                or (geo_type == "disk" and config.flux_model == "neighbor")
+            )
+            if knobs.deposit == "xla":
+                dep_xla = dep_ok
+            elif knobs.deposit == "kernel":
+                dep_xla = False
+            else:  # auto
+                dep_xla = dep_ok and not fits_vmem
 
             def body_fused(state):
                 (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux,
@@ -1007,36 +1106,91 @@ def trace_batch(
                     ],
                     axis=1,
                 )
-                org2, dir2, w2, flags2, stats, flux_sorted = (
-                    pallas_bounce.fused_bounce(
-                        org, dirn, weight[:, None], w0[:, None], flags,
-                        uniforms, geometry.prims_soa, geometry.soa_chunk_bbs,
-                        walls, stick_arr,
-                        # chunk width as packed into this geometry's SoA
-                        pt=geometry.prims_soa.shape[1]
-                        // geometry.soa_chunk_bbs.shape[0],
-                        t_near=config.t_near, dim=dim, first_dir=first_dir,
-                        second_dir=second_dir, ray_axis=ray_axis,
-                        bc1=bc1, bc2=bc2,
-                        refl_kind=fused_refl,
-                        max_bounces_cfg=min(config.max_reflections, 2**30),
-                        max_bdry=config.max_boundary_hits,
-                        wthresh=config.weight_threshold_frac,
-                        wrenew=config.renew_weight_frac,
-                        roulette=config.roulette,
-                        interpret=interp,
-                        n_sub=n_sub,
-                        per_mat=per_mat,
-                        geo_kind=geo_type,
-                        flux_model=config.flux_model,
-                        mfp=fused_mfp,
-                        stream=not fits_vmem,
-                        ordered=fused_ordered,
-                    )
+                outs = pallas_bounce.fused_bounce(
+                    org, dirn, weight[:, None], w0[:, None], flags,
+                    uniforms, geometry.prims_soa, geometry.soa_chunk_bbs,
+                    walls, stick_arr,
+                    # chunk width as packed into this geometry's SoA
+                    pt=geometry.prims_soa.shape[1]
+                    // geometry.soa_chunk_bbs.shape[0],
+                    t_near=config.t_near, dim=dim, first_dir=first_dir,
+                    second_dir=second_dir, ray_axis=ray_axis,
+                    bc1=bc1, bc2=bc2,
+                    refl_kind=fused_refl,
+                    max_bounces_cfg=min(config.max_reflections, 2**30),
+                    max_bdry=config.max_boundary_hits,
+                    wthresh=config.weight_threshold_frac,
+                    wrenew=config.renew_weight_frac,
+                    roulette=config.roulette,
+                    interpret=interp,
+                    n_sub=n_sub,
+                    per_mat=per_mat,
+                    geo_kind=geo_type,
+                    flux_model=config.flux_model,
+                    mfp=fused_mfp,
+                    stream=not fits_vmem,
+                    ordered=fused_ordered,
+                    rt=knobs.rt, mxu_pick=knobs.mxu_pick,
+                    precand=knobs.precand, slice_w=knobs.slice_w,
+                    xla_deposit=dep_xla, entry_aux=knobs.entry_aux,
                 )
-                # deposits accumulated in-kernel (sorted prim order) —
-                # unpermute and add
-                flux = flux + flux_sorted.reshape(-1)[geometry.soa_inv_perm]
+                org2, dir2, w2, flags2, stats, flux_sorted = outs[:6]
+                if dep_xla:
+                    # XLA-side deposits from the kernel's (hit lane, weight)
+                    # pair — the unfused path's exact deposit semantics
+                    # (rayTraceKernel.hpp:255-307): hit prim always
+                    # deposits; disks also deposit onto every neighbor-list
+                    # disk passing checkLocalIntersection. org/dirn here are
+                    # the PRE-bounce (post-resort) state the kernel saw.
+                    hitlane = outs[6][:, 0].astype(jnp.int32)
+                    wdep = outs[7][:, 0]
+                    collide_m = hitlane >= 0
+                    lane_c = jnp.clip(
+                        hitlane, 0, geometry.soa_perm.shape[0] - 1
+                    )
+                    prim_d = jnp.clip(
+                        geometry.soa_perm[lane_c], 0, n_prims - 1
+                    )
+                    if geo_type == "disk":
+                        nb_ids = geometry.neighbors[prim_d]
+                        Kd = nb_ids.shape[1]
+                        nb_cd = jnp.clip(nb_ids, 0, n_prims - 1)
+                        if getattr(geometry, "neighbor_pack", None) is not None:
+                            rec = geometry.neighbor_pack[prim_d].reshape(
+                                Rb, Kd, 8
+                            )
+                            nb_ok, _ = intersect.check_neighbors_packed(
+                                org, dirn, rec
+                            )
+                        else:
+                            nb_ok, _ = intersect.check_local_intersection(
+                                org, dirn, geometry.points[nb_cd],
+                                geometry.normals[nb_cd],
+                                geometry.radii[nb_cd],
+                            )
+                            nb_ok = nb_ok & (nb_ids >= 0)
+                        nb_ok = nb_ok & collide_m[:, None]
+                        w_all = jnp.where(
+                            jnp.concatenate(
+                                [collide_m[:, None], nb_ok], axis=1
+                            ),
+                            wdep[:, None],
+                            0.0,
+                        )
+                        ids_all = jnp.concatenate(
+                            [prim_d[:, None], nb_cd], axis=1
+                        )
+                        flux = flux + _flux_add(
+                            ids_all.reshape(-1), w_all.reshape(-1), n_prims
+                        )
+                    else:  # triangle / line: single closest hit
+                        flux = flux + _flux_add(prim_d, wdep, n_prims)
+                else:
+                    # deposits accumulated in-kernel (sorted prim order) —
+                    # unpermute and add
+                    flux = flux + flux_sorted.reshape(-1)[
+                        geometry.soa_inv_perm
+                    ]
 
                 # stats: collide, wall, exit, traces, scatter, swept, dep,
                 # tile-sub-bounces
@@ -1075,7 +1229,7 @@ def trace_batch(
     # order-independent sums, and each lane's uniforms remain i.i.d.).
     if (
         not differentiable
-        and _os.environ.get("VIENNARAY_TPU_SOURCE_SORT", "1") == "1"
+        and knobs.source_sort
         and R >= 2048
     ):
         nb = 6  # 64x64 source-plane cells
@@ -1130,9 +1284,18 @@ def trace_batch(
         # VJP saves every bounce's (R, P) intersection intermediates
         # (measured: 144 GB at batch 131072 x 2993 prims x 8 bounces),
         # far beyond HBM; with it, memory is one bounce's working set
-        # (jax.checkpoint trades ~2x backward FLOPs — SURVEY §7 remat note)
+        # (jax.checkpoint trades ~2x backward FLOPs — SURVEY §7 remat note).
+        # The save_only policy keeps the EXPENSIVE tagged intermediates
+        # (nearest-hit search outputs — so the Pallas kernel never re-runs
+        # in the backward pass — and the neighbor/normal gathers) while
+        # still rematerializing the cheap elementwise bounce logic:
+        # ~(3 + K*8 + 3) * R floats per bounce of residuals.
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "isect", "nbrec", "nhit"
+        )
         state, _ = jax.lax.scan(
-            jax.checkpoint(scan_body), state, None, length=bounces
+            jax.checkpoint(scan_body, policy=policy), state, None,
+            length=bounces,
         )
         if logs is not None:
             return state[-2], state[-1], logs
@@ -1155,7 +1318,7 @@ def trace_batch(
     # ladder sheds dead roulette lanes from the wide stages almost as soon
     # as they die.
     min_stage = 512
-    shrink = int(_os.environ.get("VIENNARAY_TPU_STAGE_SHRINK", "2"))
+    shrink = knobs.stage_shrink
     stage_caps = []
     cap = R
     while cap > min_stage:
@@ -1169,9 +1332,7 @@ def trace_batch(
     # disk18k 561k -> 572k at batch 2^20; also beats plain alive-compaction
     # at 2^19 — the sort only started paying once per-batch fixed costs were
     # amortized away; set VIENNARAY_TPU_COMPACT_SORT=alive to disable)
-    spatial_sort = (
-        _os.environ.get("VIENNARAY_TPU_COMPACT_SORT", "spatial") == "spatial"
-    )
+    spatial_sort = knobs.compact_sort == "spatial"
     if spatial_sort:
         bb_lo = jnp.stack([bbox[0, 0], bbox[0, 1], bbox[0, 2]])
         bb_ext = jnp.maximum(
@@ -1184,10 +1345,10 @@ def trace_batch(
         # Pallas launch there. Wide stages are compute bound — keep n_sub
         # small so compaction thresholds are checked every bounce.
         if width > 16384:
-            return int(_os.environ.get("VIENNARAY_TPU_NSUB_WIDE", "1"))
+            return knobs.nsub_wide
         if width > 2048:
-            return int(_os.environ.get("VIENNARAY_TPU_NSUB_MID", "4"))
-        return int(_os.environ.get("VIENNARAY_TPU_NSUB_TAIL", "16"))
+            return knobs.nsub_mid
+        return knobs.nsub_tail
 
     width = R
     for cap in stage_caps:

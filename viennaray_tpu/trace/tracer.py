@@ -35,14 +35,14 @@ from ..geometry.triangle_geometry import TriangleGeometry
 from ..ops import vec
 from ..physics.source import RandomSource
 from . import postprocess
-from .kernel import trace_batch
+from .kernel import EnvKnobs, trace_batch
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "config", "geo_type", "collision_fn", "reflection_fn", "aux_init_fn",
-        "init_dir_fn", "log_fn", "kahan",
+        "init_dir_fn", "log_fn", "kahan", "knobs",
     ),
     donate_argnums=(7, 8),
 )
@@ -50,7 +50,7 @@ def _traced_batch(
     geometry, source, particle, bbox, batch_key, ray_indices, valid,
     flux_acc, flux_comp, config, geo_type, collision_fn=None,
     reflection_fn=None, aux_init_fn=None, init_dir_fn=None, log_fn=None,
-    kahan=True,
+    kahan=True, knobs=None,
 ):
     """One traced mega-batch folded into the running flux accumulator.
 
@@ -64,7 +64,7 @@ def _traced_batch(
         geometry, source, particle, bbox, batch_key, ray_indices, valid,
         config, geo_type, collision_fn=collision_fn,
         reflection_fn=reflection_fn, aux_init_fn=aux_init_fn,
-        init_dir_fn=init_dir_fn, log_fn=log_fn,
+        init_dir_fn=init_dir_fn, log_fn=log_fn, knobs=knobs,
     )
     if log_fn is not None:
         flux, counters, logs = out
@@ -338,6 +338,10 @@ class _TraceBase:
         # recovered at the end from (sum, comp).
         acc_f64 = self._accumulate_f64 and num_batches > 1
         totals = np.zeros(9, np.int64)
+        # perf knobs resolved from the env HERE — outside jit, once per
+        # apply() — so flipping an env knob between applies recompiles
+        # instead of silently reusing the stale trace (ADVICE r4)
+        knobs = EnvKnobs.from_env()
 
         t0 = time.perf_counter()
         for b in range(num_batches):
@@ -353,6 +357,7 @@ class _TraceBase:
                 init_dir_fn=self._init_dir_fn,
                 log_fn=self._log_fn,
                 kahan=acc_f64,
+                knobs=knobs,
             )
             totals += np.asarray(counters, np.int64)
             if logs is not None:
