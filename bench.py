@@ -121,7 +121,7 @@ def main():
         f"median_of={reps} runs={['%.2f' % t for t in times]}s "
         f"batch={tracer._ray_batch_size} "
         f"ordered={os.environ.get('VIENNARAY_TPU_ORDERED', '1')} "
-        f"rt={os.environ.get('VIENNARAY_TPU_RT', '256')} "
+        f"rt={os.environ.get('VIENNARAY_TPU_RT', 'auto')} "
         f"flux_sum={float(np.asarray(flux, np.float64).sum()):.6g} "
         f"golden_rel_l2={'%.4f' % parity if parity is not None else 'n/a'} "
         f"oracle_rel_l2="

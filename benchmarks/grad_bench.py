@@ -29,7 +29,9 @@ def main():
     from viennaray_tpu.physics.source import RandomSource
 
     total_rays = int(os.environ.get("GRAD_BENCH_RAYS", 10_000_000))
-    batch = int(os.environ.get("GRAD_BENCH_BATCH", 131072))
+    # 2^19 default (r5): 31.0 s (2^17) -> 28.85 s (checkpoint policy)
+    # -> 25.03 s (2^18) -> 22.43 s (2^19) for the 1e7-ray fwd+bwd
+    batch = int(os.environ.get("GRAD_BENCH_BATCH", 524288))
     num_bounces = int(os.environ.get("GRAD_BENCH_BOUNCES", 8))
 
     grid_delta = 0.25

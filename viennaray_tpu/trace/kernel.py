@@ -100,7 +100,7 @@ class EnvKnobs(NamedTuple):
     bounce_sort: bool = True      # per-bounce coherence resort
     sort_dirbins: str = "auto"    # direction bins for the resort key
     sort_every: int = 1           # resort cadence (bounces)
-    permute: str = "gather"       # lane-permutation backend: gather | sort
+    permute: str = "sort"         # lane-permutation backend: sort | gather
     fused: bool = True            # fused Pallas megakernel
     ordered: bool = True          # per-tile front-to-back chunk order
     source_sort: bool = True      # source-plane Morton sort
@@ -109,7 +109,8 @@ class EnvKnobs(NamedTuple):
     nsub_wide: int = 1            # fused sub-bounces per launch (wide)
     nsub_mid: int = 4             # ... mid stages
     nsub_tail: int = 16           # ... tail stages
-    rt: int = 256                 # Pallas ray-tile width
+    rt: int = 0                   # Pallas ray-tile width; 0 = auto
+                                  # (64 HBM-streamed, else 256)
     precand: bool = True          # XLA-side candidate lists
     mxu_pick: bool = False        # MXU one-hot hit selection
     slice_w: int = 1 << 19        # fused launch slicing width
@@ -124,7 +125,7 @@ class EnvKnobs(NamedTuple):
             bounce_sort=e("VIENNARAY_TPU_BOUNCE_SORT", "1") == "1",
             sort_dirbins=e("VIENNARAY_TPU_SORT_DIRBINS", "auto"),
             sort_every=max(1, int(e("VIENNARAY_TPU_SORT_EVERY", "1"))),
-            permute=e("VIENNARAY_TPU_PERMUTE", "gather"),
+            permute=e("VIENNARAY_TPU_PERMUTE", "sort"),
             fused=e("VIENNARAY_TPU_FUSED", "1") == "1",
             ordered=e("VIENNARAY_TPU_ORDERED", "1") == "1",
             source_sort=e("VIENNARAY_TPU_SOURCE_SORT", "1") == "1",
@@ -133,7 +134,7 @@ class EnvKnobs(NamedTuple):
             nsub_wide=int(e("VIENNARAY_TPU_NSUB_WIDE", "1")),
             nsub_mid=int(e("VIENNARAY_TPU_NSUB_MID", "4")),
             nsub_tail=int(e("VIENNARAY_TPU_NSUB_TAIL", "16")),
-            rt=int(e("VIENNARAY_TPU_RT", "256")),
+            rt=int(e("VIENNARAY_TPU_RT", "0")),
             precand=e("VIENNARAY_TPU_PRECAND", "1") == "1",
             mxu_pick=e("VIENNARAY_TPU_MXU_PICK", "0") == "1",
             slice_w=int(e("VIENNARAY_TPU_SLICE", str(1 << 19))),
@@ -375,10 +376,11 @@ def trace_batch(
     )
 
     # direction-bin count for the coherence key: 8 = sign octants;
-    # 32 = 8 xy-octants x 4 polar bands. Finer bins pay only when the
+    # 32/64 = 8 xy-octants x 4/8 polar bands. Finer bins pay only when the
     # geometry is much finer than a tile's direction spread: disk1m 65.4k
-    # -> 69.6k rays/s at 32 bins, disk18k a tie (r4) — auto picks 32 from
-    # 64 chunks up.
+    # -> 69.6k rays/s at 32 bins (r4), then 142.5k -> 145.7k at 64 bins on
+    # the r5 xla-deposit/rt=64 code; disk18k (18 chunks) a tie — auto picks
+    # 64 from 64 chunks up.
     _db_env = knobs.sort_dirbins
     if _db_env == "auto":
         _nc = (
@@ -386,7 +388,7 @@ def trace_batch(
             if getattr(geometry, "soa_chunk_bbs", None) is not None
             else 0
         )
-        dirbins = 32 if _nc >= 64 else 8
+        dirbins = 64 if _nc >= 64 else 8
     else:
         dirbins = int(_db_env)
 
@@ -395,6 +397,8 @@ def trace_batch(
             ((org - bbs_lo) / bbs_ext * 16.0).astype(jnp.int32), 0, 15
         )
         if dirbins >= 32:
+            # 8 xy-octants x 4 (or 8, dirbins>=64) polar bands
+            nb_pol = 8 if dirbins >= 64 else 4
             dbin = (
                 (dirn[:, 0] > 0).astype(jnp.int32)
                 + 2 * (dirn[:, 1] > 0).astype(jnp.int32)
@@ -402,10 +406,11 @@ def trace_batch(
                     jnp.int32
                 )
                 + 8 * jnp.clip(
-                    ((dirn[:, 2] + 1.0) * 2.0).astype(jnp.int32), 0, 3
+                    ((dirn[:, 2] + 1.0) * (nb_pol / 2.0)).astype(jnp.int32),
+                    0, nb_pol - 1,
                 )
             )
-            nb_d = 32
+            nb_d = 8 * nb_pol
         else:
             dbin = (
                 (dirn[:, 0] > 0).astype(jnp.int32)
@@ -475,11 +480,14 @@ def trace_batch(
     # costs ~21 ns/row even packed (~11 ms per 2^19-lane bounce); K>1 skips
     # whole sort+gather rounds via lax.cond at some coherence cost.
     sort_every = max(1, knobs.sort_every)
-    # permutation backend: "gather" (default) = stable argsort + ONE packed
-    # row-gather; "sort" = multi-operand lax.sort. Clean A/B on disk18k
-    # (identical flux bitwise): gather 778.1k vs sort 665.7k rays/s — the
-    # TPU variadic sort moves 14 payload columns through the full sort
-    # network, costing more than the single packed gather walk.
+    # permutation backend: "sort" (default) = multi-operand lax.sort;
+    # "gather" = stable argsort + ONE packed row-gather. The winner flipped
+    # with the r5 xla-deposit change (the trace became glue-bound): r5 A/B,
+    # same session, back to back — disk18k sort 992.2k vs gather 938.5k
+    # (+5.7%), tri3d 984.9k vs 925.5k (+6.4%), disk1m(rt=128) 131.6k vs
+    # 127.9k, disk3d a wash (1.734M vs 1.748M). The r4 gather-wins numbers
+    # (778.1k vs 665.7k) were measured with the in-kernel deposit pass
+    # still dominating.
     permute_mode = knobs.permute
 
     def _resorted(it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry,
@@ -1024,21 +1032,40 @@ def trace_batch(
             # weight) and the deposits land here via the precomputed
             # neighbor lists + histogram (the unfused path's exact deposit
             # code). Only valid per-bounce (n_sub == 1) and where an XLA
-            # twin exists (disk-neighbor / triangle / line). "auto" picks
-            # xla on the HBM-streamed path, where the in-kernel deposit
-            # re-sweep costs ~56 chunk DMAs+bodies per tile-bounce
-            # (measured disk1m r4) vs ~tens of ms of XLA gather+histogram
-            # per full-width bounce.
+            # twin exists (disk-neighbor / triangle / line). "auto" = xla
+            # where the in-kernel deposit re-sweep is the expensive side —
+            # r5 A/B on v5e: disk18k (C=18) 747.5k -> 938.5k rays/s (+26%),
+            # disk1m streamed 69.6k -> 107.1k (+54%, and the deposit DMA
+            # slots disappear), tri3d (C=25) 925.5k -> 990.4k with the sort
+            # backend; but the per-bounce XLA gather+histogram is a fixed
+            # cost that LOSES where the kernel deposit was already cheap:
+            # ion (specular-coned, coherent tiles, few woke chunks) 2.776M
+            # kernel vs 2.497M xla, disk2d (C=1) 2.905M vs 2.452M. auto =
+            # streamed always, else diffuse with >= 4 chunks. Event counts
+            # identical either way; flux equal up to f32 summation order.
+            # Tail stages (n_sub > 1) keep the in-kernel deposit pass.
             dep_ok = n_sub == 1 and (
                 geo_type in ("triangle", "line")
                 or (geo_type == "disk" and config.flux_model == "neighbor")
             )
-            if knobs.deposit == "xla":
-                dep_xla = dep_ok
-            elif knobs.deposit == "kernel":
+            n_chunks_g = geometry.soa_chunk_bbs.shape[0]
+            if knobs.deposit == "kernel":
                 dep_xla = False
+            elif knobs.deposit == "xla":
+                dep_xla = dep_ok
             else:  # auto
-                dep_xla = dep_ok and not fits_vmem
+                dep_xla = dep_ok and (
+                    not fits_vmem
+                    or (
+                        fused_refl == ReflectionKind.DIFFUSE
+                        and n_chunks_g >= 4
+                    )
+                )
+            # ray-tile width: auto = 64 on the HBM-streamed path (tighter
+            # per-tile wake unions cut candidate DMAs+bodies: disk1m
+            # 107.1k/127.9k/140.1k rays/s at rt 256/128/64, r5 A/B), 256
+            # resident (rt=512 at pt=512 OOMs scoped VMEM by 465K).
+            rt_eff = knobs.rt or (64 if not fits_vmem else 256)
 
             def body_fused(state):
                 (it, org, dirn, weight, w0, alive, hfb, n_refl, n_bdry, aux,
@@ -1130,7 +1157,7 @@ def trace_batch(
                     mfp=fused_mfp,
                     stream=not fits_vmem,
                     ordered=fused_ordered,
-                    rt=knobs.rt, mxu_pick=knobs.mxu_pick,
+                    rt=rt_eff, mxu_pick=knobs.mxu_pick,
                     precand=knobs.precand, slice_w=knobs.slice_w,
                     xla_deposit=dep_xla, entry_aux=knobs.entry_aux,
                 )
