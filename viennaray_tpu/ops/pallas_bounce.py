@@ -486,11 +486,13 @@ def _one_bounce(
             carry = c[3:]
             idx = order_ref[0, 0, j]
             if sweep_fetch is not None:
-                start, wait, block_of = sweep_fetch
+                start, wait, block_of, depth = sweep_fetch
 
-                @pl.when(j + 1 < n_chunks)
+                @pl.when(j + depth - 1 < n_chunks)
                 def _():
-                    start(j + 1)  # blind prefetch; drained post-loop
+                    # blind prefetch keeping depth-1 DMAs in flight;
+                    # drained post-loop
+                    start(j + depth - 1)
 
                 wait(j)
                 blk_fn = lambda: block_of(j)
@@ -503,23 +505,27 @@ def _one_bounce(
         j0 = jnp.where(any_alive, jnp.int32(0), jnp.int32(n_chunks))
         tmax0 = jnp.max(jnp.where(alive, tmin0, 0.0))
         if sweep_fetch is not None:
+            depth_s = sweep_fetch[3]
+
             @pl.when(any_alive & (dbound_ref[0, 0, 0] <= tmax0))
             def _():
-                sweep_fetch[0](0)  # warm-up: fetch order[0] into slot 0
+                # warm-up: fill the ring with the first depth-1 chunks
+                for jj in range(min(depth_s - 1, n_chunks)):
+                    sweep_fetch[0](jnp.int32(jj))
         out = jax.lax.while_loop(
             p_cond, p_body, (j0, tmax0, jnp.float32(0.0)) + init
         )
         if sweep_fetch is not None:
-            # the loop body blind-prefetches chunk j+1; on early break (or a
-            # 0-iteration loop after the warm-up) that DMA is still in
-            # flight — drain it so the scratch slots are quiescent before
-            # the next use
+            # the loop body blind-prefetches up to depth-1 chunks ahead; on
+            # early break (or a 0-iteration loop after the warm-up) those
+            # DMAs are still in flight — drain them so the scratch slots
+            # are quiescent before the next use
             jf = out[0]
             ran_any = any_alive & (dbound_ref[0, 0, 0] <= tmax0)
-
-            @pl.when(ran_any & (jf < n_chunks))
-            def _():
-                sweep_fetch[1](jf)
+            for k in range(depth_s - 1):
+                @pl.when(ran_any & (jf + k < n_chunks))
+                def _(k=k):
+                    sweep_fetch[1](jf + k)
         n_swept = out[2]
         (t_geo, h_lane, nhx, nhy, nhz, hcx, hcy, hcz, stk_hit) = out[3:]
     elif ordered:
@@ -547,13 +553,22 @@ def _one_bounce(
             idx = order_ref[0, 0, j]
             brk = dbound_ref[0, 0, j] - drift > tmax_live
             if sweep_fetch is not None:
-                start, wait, block_of = sweep_fetch
+                start, wait, block_of, depth = sweep_fetch
 
-                @pl.when((~brk) & (j + 1 < n_chunks))
+                @pl.when((~brk) & (j + depth - 1 < n_chunks))
                 def _():
-                    start(j + 1)  # prefetch the next chunk in order
+                    start(j + depth - 1)  # prefetch depth-1 chunks ahead
 
                 wait(j)  # drain the in-flight DMA even on break
+                if depth > 2:
+                    # on break the ring still holds the deeper prefetches
+                    # (j+1 .. j+depth-2) — drain them before exiting
+                    @pl.when(brk)
+                    def _():
+                        for k in range(1, depth - 1):
+                            @pl.when(j + k < n_chunks)
+                            def _(k=k):
+                                wait(j + k)
             tlo, thi = chunk_slab(idx)
             need = (
                 jnp.any((thi >= tlo) & (thi > 0.0) & (tlo < tmin) & alive)
@@ -579,7 +594,12 @@ def _one_bounce(
         if sweep_fetch is not None:
             @pl.when(any_alive)
             def _():
-                sweep_fetch[0](0)  # warm-up: fetch order[0] into slot 0
+                # warm-up: fill the ring with the first depth-1 chunks.
+                # NOTE: the first body iteration waits chunk 0 before its
+                # own break test, so even a break-at-0 drains slot 0; the
+                # deeper slots are drained by the in-body break drain.
+                for jj in range(min(sweep_fetch[3] - 1, n_chunks)):
+                    sweep_fetch[0](jnp.int32(jj))
         out = jax.lax.while_loop(
             s_cond, s_body, (j0, tmax0, jnp.float32(0.0)) + init
         )
@@ -1026,7 +1046,7 @@ def _bounce_kernel(
     org_ref, dir_ref, w_ref, w0_ref, flags_ref, uni_ref, prims_ref, bb_ref,
     walls_ref, stick_ref,
     *rest, n_sub, n_uni, pt, stream=False, ordered=False, entry_aux=False,
-    xla_deposit=False, **kw,
+    xla_deposit=False, stream_buf=2, **kw,
 ):
     # pallas_call passes inputs, then outputs, then scratch positionally;
     # order/dbound are two extra inputs present only on the ordered path,
@@ -1070,14 +1090,15 @@ def _bounce_kernel(
                 idx = order_ref[0, 0, j]
                 return pltpu.make_async_copy(
                     prims_ref.at[:, pl.ds(idx * pt, pt)],
-                    sweep_scratch.at[j % 2],
-                    sweep_sems.at[j % 2],
+                    sweep_scratch.at[j % stream_buf],
+                    sweep_sems.at[j % stream_buf],
                 )
 
             sweep_fetch = (
                 lambda j: _sweep_dma(j).start(),
                 lambda j: _sweep_dma(j).wait(),
-                lambda j: sweep_scratch[j % 2],
+                lambda j: sweep_scratch[j % stream_buf],
+                stream_buf,
             )
 
             if not xla_deposit:
@@ -1309,7 +1330,7 @@ def fused_bounce(org, dirn, weight, w0, flags, uniforms, prims, chunk_bbs,
         "bc1", "bc2", "refl_kind", "max_bounces_cfg", "max_bdry", "wthresh",
         "wrenew", "roulette", "interpret", "n_sub", "per_mat", "geo_kind",
         "flux_model", "mfp", "stream", "ordered", "mxu_pick", "precand",
-        "xla_deposit", "entry_aux",
+        "xla_deposit", "entry_aux", "stream_buf",
     ),
 )
 def _fused_bounce(
@@ -1321,7 +1342,7 @@ def _fused_bounce(
     wthresh=0.1, wrenew=0.3, roulette=True, interpret=False, n_sub=1,
     per_mat=False, geo_kind="disk", flux_model="neighbor", mfp=-1.0,
     stream=False, ordered=True, mxu_pick=False, precand=True,
-    xla_deposit=False, entry_aux=False,
+    xla_deposit=False, entry_aux=False, stream_buf=2,
 ):
     """Run ``n_sub`` fused bounces for all rays.
 
@@ -1386,6 +1407,7 @@ def _fused_bounce(
         _bounce_kernel, n_sub=n_sub, n_uni=n_uni, pt=pt, npad=npad,
         stream=bool(stream), ordered=ordered, precand=precand,
         entry_aux=entry_aux, xla_deposit=xla_deposit,
+        stream_buf=int(stream_buf),
         t_near=float(t_near),
         dim=dim,
         first_dir=first_dir, second_dir=second_dir, ray_axis=ray_axis,
@@ -1410,11 +1432,13 @@ def _fused_bounce(
         # geometry stays in HBM
         prims_spec = pl.BlockSpec(memory_space=pl.ANY)
         if ordered:
-            # double-buffered sweep slots + double-buffered deposit slots
-            # (deposit slots only when the deposit pass runs in-kernel)
+            # ring-buffered sweep slots (depth stream_buf, default 2) +
+            # double-buffered deposit slots (deposit slots only when the
+            # deposit pass runs in-kernel)
             scratch_shapes = [
-                pltpu.VMEM((2, prims.shape[0], pt), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((int(stream_buf), prims.shape[0], pt),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((int(stream_buf),)),
             ]
             if not xla_deposit:
                 scratch_shapes += [

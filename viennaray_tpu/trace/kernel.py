@@ -116,6 +116,7 @@ class EnvKnobs(NamedTuple):
     slice_w: int = 1 << 19        # fused launch slicing width
     deposit: str = "auto"         # deposit pass: auto | kernel | xla
     entry_aux: bool = True        # XLA-computed [tmin0, t_w1, t_w2] input
+    stream_buf: int = 2           # streamed sweep DMA ring depth
     fused_interpret: bool = False  # run the fused kernel in interpret mode
 
     @classmethod
@@ -140,6 +141,7 @@ class EnvKnobs(NamedTuple):
             slice_w=int(e("VIENNARAY_TPU_SLICE", str(1 << 19))),
             deposit=e("VIENNARAY_TPU_DEPOSIT", "auto"),
             entry_aux=e("VIENNARAY_TPU_ENTRY_AUX", "1") == "1",
+            stream_buf=int(e("VIENNARAY_TPU_STREAM_BUF", "2")),
             fused_interpret=e("VIENNARAY_TPU_FUSED_INTERPRET", "") == "1",
         )
 
@@ -1160,6 +1162,7 @@ def trace_batch(
                     rt=rt_eff, mxu_pick=knobs.mxu_pick,
                     precand=knobs.precand, slice_w=knobs.slice_w,
                     xla_deposit=dep_xla, entry_aux=knobs.entry_aux,
+                    stream_buf=knobs.stream_buf,
                 )
                 org2, dir2, w2, flags2, stats, flux_sorted = outs[:6]
                 if dep_xla:
