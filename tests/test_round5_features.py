@@ -103,6 +103,32 @@ def test_xla_deposit_matches_kernel_triangle(monkeypatch):
     assert c_k.geometry_hits == c_x.geometry_hits
 
 
+def test_xla_deposit_matches_kernel_line(monkeypatch):
+    """2D line single-hit deposits via the XLA histogram."""
+    from viennaray_tpu.geometry.line_geometry import LineGeometry
+
+    seg = 0.2
+    xs = np.arange(-2.0, 2.0 + 1e-9, seg, dtype=np.float32)
+    nodes = np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], axis=1)
+    lines = np.stack(
+        [np.arange(len(xs) - 1), np.arange(1, len(xs))], axis=1
+    ).astype(np.uint32)
+    mesh = vrt.LineMesh(nodes=nodes, lines=lines, grid_delta=seg)
+    geo = LineGeometry.from_mesh(mesh)
+    p = vrt.DiffuseParticle(0.3)
+    cfg = dataclasses.replace(
+        _cfg3d(), dim=2, source_direction=TraceDirection.POS_Y
+    )
+    _force_fused(monkeypatch, True)
+    monkeypatch.setenv("VIENNARAY_TPU_DEPOSIT", "kernel")
+    f_k, c_k = _trace_once(geo, "line", cfg, p)
+    monkeypatch.setenv("VIENNARAY_TPU_DEPOSIT", "xla")
+    f_x, c_x = _trace_once(geo, "line", cfg, p)
+    assert f_k.sum() > 0
+    np.testing.assert_allclose(f_x, f_k, rtol=1e-6, atol=1e-4)
+    assert c_k.geometry_hits == c_x.geometry_hits
+
+
 def test_xla_deposit_streamed_disk(monkeypatch):
     """The HBM-streamed ordered path with deposit='xla' (the disk1m
     configuration: no deposit DMA slots at all) must match the in-kernel

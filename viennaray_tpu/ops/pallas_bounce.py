@@ -410,9 +410,12 @@ def _one_bounce(
                 p_nx, p_ny, p_nz = (
                     picks[:, 3:4], picks[:, 4:5], picks[:, 5:6]
                 )
-                p_cx, p_cy, p_cz = (
-                    picks[:, 0:1], picks[:, 1:2], picks[:, 2:3]
-                )
+                if xla_deposit:
+                    p_cx = p_cy = p_cz = None  # dead (see VPU branch note)
+                else:
+                    p_cx, p_cy, p_cz = (
+                        picks[:, 0:1], picks[:, 1:2], picks[:, 2:3]
+                    )
             elif geo_kind == "line":
                 p_nx, p_ny = picks[:, 4:5], picks[:, 5:6]
                 p_nz = jnp.zeros((rt, 1), jnp.float32)
@@ -424,9 +427,13 @@ def _one_bounce(
                 p_cx = p_cy = p_cz = None
         else:
             p_nx, p_ny, p_nz = pick(sel, nx), pick(sel, ny), pick(sel, nz)
-            if is_disk:
+            if is_disk and not xla_deposit:
                 p_cx, p_cy, p_cz = pick(sel, cx), pick(sel, cy), pick(sel, cz)
             else:
+                # hit centers feed ONLY the in-kernel neighbor-deposit ball
+                # test; under xla_deposit they are dead — skip the 6
+                # full-width pick ops per chunk visit (flux unchanged: the
+                # XLA deposit re-derives the center from the hit prim id)
                 p_cx = p_cy = p_cz = None
         out = (
             upd(cmin, tmin),
@@ -435,7 +442,7 @@ def _one_bounce(
             upd(p_ny, nby),
             upd(p_nz, nbz),
         )
-        if is_disk:
+        if is_disk and p_cx is not None:
             out += (
                 upd(p_cx, hcx),
                 upd(p_cy, hcy),
