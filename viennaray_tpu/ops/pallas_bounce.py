@@ -744,7 +744,11 @@ def _one_bounce(
         (``dep_fetch``): chunk order[j+1]'s fetch runs behind chunk
         order[j]'s wake test + deposit. NOTE (streamed): the prefetch
         cannot see the wake test, so every ordered chunk up to the break is
-        DMA'd even when few deposit — extra HBM traffic on sparse-deposit
+        DMA'd even when few deposit — which is why the per-bounce
+        (n_sub == 1) default moves deposits to the XLA side entirely
+        (xla_deposit: no deposit pass, no deposit DMA); this in-kernel
+        pass remains for the n_sub > 1 tail stages and the window
+        model — extra HBM traffic on sparse-deposit
         tiles, hidden only while compute covers it."""
         if ordered:
 
