@@ -378,11 +378,11 @@ def trace_batch(
     )
 
     # direction-bin count for the coherence key: 8 = sign octants;
-    # 32/64 = 8 xy-octants x 4/8 polar bands. Finer bins pay only when the
-    # geometry is much finer than a tile's direction spread: disk1m 65.4k
-    # -> 69.6k rays/s at 32 bins (r4), then 142.5k -> 145.7k at 64 bins on
-    # the r5 xla-deposit/rt=64 code; disk18k (18 chunks) a tie — auto picks
-    # 64 from 64 chunks up.
+    # 32/64 = 8 xy-octants x 4/8 polar bands. Finer bins pay when the
+    # geometry is finer than a tile's direction spread — r5 A/Bs on the
+    # xla-deposit code: disk18k (C=18) 988-996k / 1015.5k / 1004.0k rays/s
+    # at 8/32/64 bins -> 32; disk1m (C=344) 142.5k -> 145.7k at 64 -> 64.
+    # Below 8 chunks the resort itself is gated off, so the choice is moot.
     _db_env = knobs.sort_dirbins
     if _db_env == "auto":
         _nc = (
@@ -390,7 +390,7 @@ def trace_batch(
             if getattr(geometry, "soa_chunk_bbs", None) is not None
             else 0
         )
-        dirbins = 64 if _nc >= 64 else 8
+        dirbins = 64 if _nc >= 64 else 32
     else:
         dirbins = int(_db_env)
 
