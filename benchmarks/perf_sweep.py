@@ -165,8 +165,51 @@ def bench_tri3d():
     return info.num_rays / dt, dt, info, float(host.sum())
 
 
+def bench_line2d():
+    """Native 2D line segments through the fused line megakernel
+    (the reference GPU line tracer's config, gpu/examples/trenchLines.cpp
+    shape: per-material sticking over the triangle2D lineMesh trench)."""
+    import viennaray_tpu as vrt
+    from viennaray_tpu.io import dat
+
+    path = "/root/reference/examples/triangle2D/lineMesh.dat"
+    if os.path.exists(path):
+        gd, nodes, elements = dat.read_mesh_from_file(path, 2)
+    else:
+        from viennaray_tpu.io import fixtures
+
+        gd = 0.023
+        pts, nrm = fixtures.create_trench_grid_2d(grid_delta=gd)
+        nodes = pts[:, :2]
+        order = np.argsort(nodes[:, 0], kind="stable")
+        nodes = nodes[order]
+        elements = np.stack(
+            [np.arange(len(nodes) - 1), np.arange(1, len(nodes))], axis=1
+        ).astype(np.int32)
+    mesh = vrt.LineMesh(nodes=nodes, lines=elements, grid_delta=gd)
+    n = len(mesh.lines)
+    material_ids = np.zeros((n,), np.int32)
+    material_ids[n // 2:] = 1
+    t = vrt.TraceLine()
+    t.set_geometry(mesh, material_ids=material_ids)
+    t.set_boundary_conditions([vrt.BoundaryCondition.PERIODIC] * 2)
+    t.set_particle_type(
+        vrt.DiffuseParticle(0.5, "flux", material_sticking=[0.5, 0.1])
+    )
+    t.set_number_of_rays_per_point(2000)
+    t.set_rng_seed(42)
+    t.apply()
+    t0 = time.perf_counter()
+    flux = t.apply()
+    host = np.asarray(flux)
+    dt = time.perf_counter() - t0
+    info = t.get_ray_trace_info()
+    return info.num_rays / dt, dt, info, float(host.sum())
+
+
 BENCHES = {
     "disk2d": bench_disk2d,
+    "line2d": bench_line2d,
     "disk3d": bench_disk3d,
     "tri3d": bench_tri3d,
     "disk18k": bench_disk18k,
